@@ -1,0 +1,49 @@
+"""SimHash (Charikar 2002) 64-bit near-dup fingerprints.
+
+Each token/feature hashes to 64 bits; the fingerprint's bit *j* is 1 iff
+the (weighted) sum of ±1 votes from feature bits *j* is positive. Docs
+within a small Hamming distance are near-duplicates (Manku et al.,
+WWW'07 used k=3 at 64 bits for web-scale dedup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_BITS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def simhash64(features: list[str], weights: list[int] | None = None) -> int:
+    """64-bit SimHash of a feature list (unsigned int result)."""
+    if not features:
+        return 0
+    votes = np.zeros(64, np.int64)
+    for idx, f in enumerate(features):
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(f.encode(), digest_size=8).digest(), "big")
+        )
+        bits = ((h & _BITS) != 0).astype(np.int64) * 2 - 1
+        votes += bits * (weights[idx] if weights else 1)
+    return int(((votes > 0).astype(np.uint64) * _BITS).sum(dtype=np.uint64))
+
+
+def simhash_tokens(text: str) -> int:
+    """SimHash over whitespace tokens of pre-normalized text."""
+    return simhash64(text.split(" ")) if text else 0
+
+
+def hamming64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    # numpy>=2 has bit_count on integer arrays via np.bitwise_count
+    try:
+        return np.bitwise_count(x)
+    except AttributeError:  # numpy<2 fallback
+        v = x.copy()
+        cnt = np.zeros(v.shape, np.uint64)
+        while v.any():
+            cnt += v & np.uint64(1)
+            v >>= np.uint64(1)
+        return cnt

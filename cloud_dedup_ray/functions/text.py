@@ -1,0 +1,192 @@
+"""Text analysis kernels: normalization, shingling, token counting,
+language-ID heuristic, quality scoring, rolling-hash fingerprints.
+
+All functions are batch-level (Arrow array in → Arrow array out) so they
+slot into ``map_batches(batch_format="pyarrow")`` with no per-row Python
+dispatch in the Dataset layer. Semantics chosen to be expressible in
+ANSI SQL where possible so the DuckDB oracle can verify them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+
+
+def normalize(texts: pa.Array) -> pa.Array:
+    """lower → collapse whitespace runs to single spaces → trim.
+    SQL twin: ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    lowered = pc.utf8_lower(texts)
+    collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
+    return pc.utf8_trim_whitespace(collapsed)
+
+
+def token_count(texts: pa.Array) -> pa.Array:
+    """Whitespace token count, 0 for blank strings.
+    SQL twin: ``len(regexp_split_to_array(trim(text), '\\s+'))`` guarded
+    for the empty string."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    n = pc.list_value_length(toks)
+    # splitting "" yields [""] → count 1; force 0 for blank input
+    blank = pc.equal(pc.utf8_trim_whitespace(texts), "")
+    return pc.if_else(blank, pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
+
+
+def char_ngrams(text: str, n: int) -> set[str]:
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def token_shingles_hashed(text: str, k: int) -> np.ndarray:
+    """Distinct k-token shingles of a (pre-normalized) text, hashed to
+    uint64. Returns a sorted unique array; empty docs → empty array."""
+    toks = text.split(" ")
+    if not toks or toks == [""]:
+        return np.empty(0, np.uint64)
+    if len(toks) < k:
+        shingles = {" ".join(toks)}
+    else:
+        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in shingles
+        ),
+        np.uint64,
+        len(shingles),
+    )
+    out.sort()
+    return out
+
+
+# --- language ID (character n-gram heuristic, no external models) -----------
+
+# tiny per-language profiles: the most characteristic trigrams/stopwords of
+# each language, hand-assembled from public frequency lists.
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {" the", " and", " of ", " to ", "ing ", " is ", " that", " in "},
+    "es": {" el ", " de ", " la ", " que", " los", " una", "ción", " por"},
+    "fr": {" le ", " de ", " la ", " les", " des", " une", " est", " que"},
+    "de": {" der", " die", " und", " das", " ein", "sch", " ist", " mit"},
+    "zh": set(),  # CJK detected by codepoint range below
+    "ja": set(),
+}
+
+
+def lang_id_one(text: str) -> str:
+    """Heuristic language guess. CJK by codepoint; otherwise the profile
+    with the most n-gram hits; 'und' when nothing matches."""
+    if not text:
+        return "und"
+    sample = " " + text[:2000].lower() + " "
+    cjk = sum(1 for ch in sample[:400] if "一" <= ch <= "鿿")
+    kana = sum(1 for ch in sample[:400] if "぀" <= ch <= "ヿ")
+    if kana > 2:
+        return "ja"
+    if cjk > 2:
+        return "zh"
+    best, best_hits = "und", 0
+    for lang, grams in _LANG_PROFILES.items():
+        if not grams:
+            continue
+        hits = sum(sample.count(g) for g in grams)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+def lang_id(texts: pa.Array) -> pa.Array:
+    return pa.array([lang_id_one(t) if t is not None else "und"
+                     for t in texts.to_pylist()], pa.string())
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as by at from".split()
+)
+
+
+def quality_features(texts: pa.Array) -> dict[str, pa.Array]:
+    """Cheap quality features: char length, token count, mean token
+    length, alpha ratio, stopword ratio. The first three have exact SQL
+    twins; ratios are verified rows-only."""
+    n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    n_tokens = token_count(texts)
+    py = texts.to_pylist()
+    mean_tok = np.zeros(len(py), np.float64)
+    alpha_ratio = np.zeros(len(py), np.float64)
+    stop_ratio = np.zeros(len(py), np.float64)
+    for i, t in enumerate(py):
+        if not t:
+            continue
+        toks = t.split()
+        if toks:
+            mean_tok[i] = sum(len(w) for w in toks) / len(toks)
+            lowered = [w.lower() for w in toks]
+            stop_ratio[i] = sum(w in _STOPWORDS for w in lowered) / len(toks)
+        n_alpha = sum(ch.isalpha() for ch in t)
+        alpha_ratio[i] = n_alpha / len(t)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": pa.array(mean_tok),
+        "alpha_ratio": pa.array(alpha_ratio),
+        "stopword_ratio": pa.array(stop_ratio),
+    }
+
+
+def quality_score(feats: dict[str, pa.Array]) -> pa.Array:
+    """Scalar quality score in [0,1]: penalize too-short docs, garbage
+    (low alpha ratio) and stopword-free keyword soup."""
+    n_tokens = np.asarray(feats["n_tokens"], np.float64)
+    alpha = np.asarray(feats["alpha_ratio"], np.float64)
+    stop = np.asarray(feats["stopword_ratio"], np.float64)
+    length_term = np.clip(n_tokens / 50.0, 0.0, 1.0)
+    stop_term = np.clip(stop / 0.2, 0.0, 1.0)
+    return pa.array(np.round((0.4 * length_term + 0.4 * alpha + 0.2 * stop_term), 6))
+
+
+# --- document fingerprinting (winnowing-style rolling hash) ------------------
+
+def fingerprint64(texts: pa.Array, window: int = 16) -> pa.Array:
+    """64-bit document fingerprint: XOR of the minima of rolling-hash
+    windows over the normalized text (a winnowing-style selection, cf.
+    Schleimer et al. 2003). Deterministic and order-stable."""
+    out = np.zeros(len(texts), np.uint64)
+    for i, t in enumerate(normalize(texts).to_pylist()):
+        if not t:
+            continue
+        data = t.encode()
+        if len(data) <= window:
+            out[i] = np.uint64(
+                int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+            )
+            continue
+        # polynomial rolling hash over bytes, vectorized with cumulative powers
+        arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+        base = np.uint64(1099511628211)
+        # hash of window starting at i: sum(arr[i+j] * base**(w-1-j)) mod 2^64
+        pows = np.empty(window, np.uint64)
+        pows[-1] = 1
+        for j in range(window - 2, -1, -1):
+            pows[j] = pows[j + 1] * base
+        n_win = len(arr) - window + 1
+        hashes = np.zeros(n_win, np.uint64)
+        for j in range(window):
+            hashes += arr[j : j + n_win] * pows[j]
+        # winnow: min per chunk of `window` consecutive window-hashes
+        n_chunks = (n_win + window - 1) // window
+        acc = np.uint64(0)
+        for c in range(n_chunks):
+            acc ^= hashes[c * window : (c + 1) * window].min()
+        out[i] = acc
+    return pa.array(out.view(np.int64))

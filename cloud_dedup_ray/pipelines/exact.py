@@ -1,0 +1,417 @@
+"""Exact-tier analysis pipeline — reference parity.
+
+The full ``analyze()`` surface of the reference
+(/root/reference/src/cloud_duplicate_analyzer.py:273-713) as a Ray Data
+pipeline:
+
+    read_parquet(corpus)
+      → map_batches  project / filter / hash          (stateless tasks)
+      → groupby(name, size) → map_groups classify      [shuffle 1]
+      → groupby(path_lower) → map_groups mixed-type    [shuffle 2]
+      → groupby(repo) counts, broadcast anti-joins     [small shuffles]
+      → groupby(repo, folder) name-sets → driver folder rollups [shuffle 3]
+
+Deterministic deviations from the reference (documented; the pure-Python
+oracle in ``cloud_dedup_ray/oracle`` applies the same rules, so parity
+tests are exact):
+  * label iteration order = sorted(labels) (reference: CLI order),
+  * the representative record per (key, repo) = min by path
+    (reference: ``hits[0]`` filesystem walk order, :325),
+  * per (repo, lowercased path) the record = min by path
+    (reference: last walk-order write wins, :298-301).
+All other semantics — including the J2/J7 representative-path quirks —
+are preserved in parity mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from itertools import combinations
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from cloud_dedup_ray.config import DedupConfig
+from cloud_dedup_ray.functions.classify import (
+    CONTENT_RANK,
+    VERSION_RANK,
+    Rec,
+    classify_pair,
+)
+from cloud_dedup_ray.functions.folders import folder_analysis
+from cloud_dedup_ray.stages.project import project_corpus
+
+GROUP_SCHEMA = pa.schema(
+    [
+        ("name", pa.string()),
+        ("size", pa.int64()),
+        ("rel_path", pa.string()),
+        ("name_orig", pa.string()),
+        ("folder", pa.string()),
+        ("route", pa.string()),           # duplicate | conflict | symlink
+        ("content_match", pa.string()),
+        ("version_status", pa.string()),  # symlink rows: the symlink_status
+        ("newest_in", pa.string()),
+        ("age_difference_days", pa.float64()),
+        ("services", pa.list_(pa.string())),
+        ("n_services", pa.int64()),
+        ("member_repos", pa.list_(pa.string())),
+        ("member_paths", pa.list_(pa.string())),
+        ("member_mtimes", pa.list_(pa.float64())),
+        ("member_sizes", pa.list_(pa.int64())),
+        ("member_is_symlink", pa.list_(pa.bool_())),
+        ("member_targets", pa.list_(pa.string())),
+    ]
+)
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return GROUP_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=GROUP_SCHEMA)
+
+
+def _first_per_repo(table: pa.Table) -> dict[str, Rec]:
+    """Deterministic representative per repo: min by path (replaces the
+    reference's walk-order ``hits[0]``)."""
+    best: dict[str, Rec] = {}
+    cols = {
+        k: table[k].to_pylist()
+        for k in (
+            "repo path name name_orig folder size mtime "
+            "is_symlink symlink_target content_sha256"
+        ).split()
+    }
+    for i in range(table.num_rows):
+        r = Rec(
+            repo=cols["repo"][i],
+            path=cols["path"][i],
+            name=cols["name"][i],
+            name_orig=cols["name_orig"][i],
+            folder=cols["folder"][i],
+            size=cols["size"][i],
+            mtime=cols["mtime"][i],
+            is_symlink=cols["is_symlink"][i],
+            symlink_target=cols["symlink_target"][i],
+            content_hash=cols["content_sha256"][i],
+        )
+        cur = best.get(r.repo)
+        if cur is None or r.path < cur.path:
+            best[r.repo] = r
+    return best
+
+
+def _group_row(
+    members: dict[str, Rec], route: str, cm: str, vs: str,
+    newest_in: str | None, age_days: float | None,
+) -> dict:
+    labels = list(members)  # already sorted by caller
+    first = members[labels[0]]
+    return {
+        "name": first.name,
+        "size": first.size,
+        "rel_path": first.path,
+        "name_orig": first.name_orig,
+        "folder": first.folder,
+        "route": route,
+        "content_match": cm,
+        "version_status": vs,
+        "newest_in": newest_in,
+        "age_difference_days": age_days,
+        "services": labels,
+        "n_services": len(labels),
+        "member_repos": labels,
+        "member_paths": [members[l].path for l in labels],
+        "member_mtimes": [members[l].mtime for l in labels],
+        "member_sizes": [members[l].size for l in labels],
+        "member_is_symlink": [members[l].is_symlink for l in labels],
+        "member_targets": [members[l].symlink_target for l in labels],
+    }
+
+
+class GroupClassifier:
+    """``map_groups`` body for the (name, size) blocking groups —
+    replicates the reference match loop (:315-433) including its
+    first-symlink-pair short-circuit."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.__name__ = "GroupClassifier"  # map_groups wraps plain functions
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        present = _first_per_repo(table)
+        if len(present) < 2:
+            return GROUP_SCHEMA.empty_table()
+        labels = sorted(present)
+        ordered = {l: present[l] for l in labels}
+        group_content, group_version = "identical", "same"
+        for la, lb in combinations(labels, 2):
+            res = classify_pair(
+                ordered[la], ordered[lb], self.cfg.mtime_fuzz, self.cfg.use_checksum
+            )
+            if res is None:
+                return GROUP_SCHEMA.empty_table()
+            cm, vs = res
+            if cm == "symlink":
+                return _rows_to_table(
+                    [_group_row(ordered, "symlink", "symlink", vs, None, None)]
+                )
+            if cm == "mixed_type":
+                # dead in the main loop (symlink size=-1 never equals a
+                # regular size) — kept defensively like the reference
+                return _rows_to_table(
+                    [_group_row(ordered, "conflict", "mixed_type", vs, None, None)]
+                )
+            if CONTENT_RANK[cm] > CONTENT_RANK[group_content]:
+                group_content = cm
+            if VERSION_RANK[vs] > VERSION_RANK[group_version]:
+                group_version = vs
+        newest_in = (
+            max(labels, key=lambda l: ordered[l].mtime)
+            if group_version in ("diverged", "phantom")
+            else None
+        )
+        mtimes = [r.mtime for r in ordered.values()]
+        age = round((max(mtimes) - min(mtimes)) / 86400.0, 2)
+        route = "conflict" if group_content == "different" else "duplicate"
+        return _rows_to_table(
+            [_group_row(ordered, route, group_content, group_version, newest_in, age)]
+        )
+
+
+class MixedTypeClassifier:
+    """``map_groups`` body for the rel_path-keyed second pass
+    (:435-482): groups holding both a symlink and a regular file across
+    ≥2 repos become mixed_type conflicts, unless the rel_path was
+    already emitted by the main pass."""
+
+    def __init__(self, cfg: DedupConfig, handled_ref: "ray.ObjectRef | None"):
+        self.cfg = cfg
+        self.handled_ref = handled_ref
+        self._handled: set[str] | None = None
+        self.__name__ = "MixedTypeClassifier"
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        if self._handled is None:
+            self._handled = (
+                ray.get(self.handled_ref) if self.handled_ref is not None else set()
+            )
+        rp_lower = table["path_lower"][0].as_py()
+        if rp_lower in self._handled:
+            return GROUP_SCHEMA.empty_table()
+        present = _first_per_repo(table)
+        if len(present) < 2:
+            return GROUP_SCHEMA.empty_table()
+        kinds = {r.is_symlink for r in present.values()}
+        if kinds != {True, False}:
+            return GROUP_SCHEMA.empty_table()
+        labels = sorted(present)
+        ordered = {l: present[l] for l in labels}
+        return _rows_to_table(
+            [_group_row(ordered, "conflict", "mixed_type", "conflict", None, None)]
+        )
+
+
+@dataclass
+class ExactResult:
+    """Driver-side handle on the analysis outputs. The three group
+    datasets stay distributed; counts/folder tables are small and
+    materialized."""
+
+    labels: list[str]
+    total_files: dict[str, int]
+    duplicate_groups: ray.data.Dataset
+    conflict_groups: ray.data.Dataset
+    symlinks: ray.data.Dataset
+    unique_counts: dict[str, int]
+    pairwise_counts: dict[str, int]
+    all_services_count: int
+    folder_comparisons: list[dict] = field(default_factory=list)
+    relationship_counts: dict[str, int] = field(default_factory=dict)
+    safe_to_delete_roots: list[dict] = field(default_factory=list)
+
+    def to_result_dict(self) -> dict[str, Any]:
+        """Reference-shaped result dict (:696-713, minus private keys and
+        scan plumbing)."""
+        dup = self.duplicate_groups.to_pandas()
+        con = self.conflict_groups.to_pandas()
+        sym = self.symlinks.to_pandas()
+
+        def groups(df):
+            out = []
+            for _, g in df.sort_values("rel_path").iterrows():
+                out.append(
+                    {
+                        "rel_path": g["rel_path"],
+                        "name_orig": g["name_orig"],
+                        "size": int(g["size"]),
+                        "content_match": g["content_match"],
+                        "version_status": g["version_status"],
+                        "newest_in": g["newest_in"],
+                        "age_difference_days": g["age_difference_days"],
+                        "service_details": {
+                            repo: {"size": int(s), "mtime_raw": float(m)}
+                            for repo, s, m in zip(
+                                g["member_repos"], g["member_sizes"], g["member_mtimes"]
+                            )
+                        },
+                    }
+                )
+            return out
+
+        return {
+            "labels": self.labels,
+            "total_files": self.total_files,
+            "duplicate_groups": groups(dup),
+            "conflict_groups": groups(con),
+            "symlinks": [
+                {
+                    "rel_path": s["rel_path"],
+                    "name_orig": s["name_orig"],
+                    "folder": s["folder"],
+                    "symlink_status": s["version_status"],
+                    "services": list(s["services"]),
+                    "symlink_targets": dict(zip(s["member_repos"], s["member_targets"])),
+                }
+                for _, s in sym.sort_values("rel_path").iterrows()
+            ],
+            "unique_counts": self.unique_counts,
+            "pairwise_counts": self.pairwise_counts,
+            "all_services_count": self.all_services_count,
+            "folder_comparisons": self.folder_comparisons,
+            "relationship_counts": self.relationship_counts,
+            "safe_to_delete_roots": self.safe_to_delete_roots,
+        }
+
+
+def analyze_corpus(
+    corpus: ray.data.Dataset, cfg: DedupConfig | None = None
+) -> ExactResult:
+    """Run the full exact-tier analysis over a corpus Dataset in the
+    ``input_hint`` schema."""
+    cfg = cfg or DedupConfig()
+    projected = project_corpus(
+        corpus, skip_hidden=cfg.skip_hidden, use_checksum=cfg.use_checksum
+    ).materialize()  # reused by 4 downstream passes; metadata+digests only
+
+    labels = sorted(projected.unique("repo"))
+    n_labels = len(labels)
+
+    groups = (
+        projected.groupby(["name", "size"])
+        .map_groups(GroupClassifier(cfg), batch_format="pyarrow")
+        .materialize()  # one row per matched key — small vs corpus
+    )
+
+    # anti-join key set for the mixed-type pass (reference :439-446).
+    # Collected to the driver + broadcast: |set| = #groups ≪ #files. The
+    # 10^12-scale path is a distributed hash anti-join on path_lower.
+    handled = {
+        p.lower()
+        for p in groups.select_columns(["rel_path"]).to_pandas()["rel_path"]
+    }
+    handled_ref = ray.put(handled)
+
+    mixed = projected.groupby("path_lower").map_groups(
+        MixedTypeClassifier(cfg, handled_ref), batch_format="pyarrow"
+    )
+
+    duplicate_groups = groups.filter(expr="route == 'duplicate'").materialize()
+    conflict_groups = (
+        groups.filter(expr="route == 'conflict'").union(mixed).materialize()
+    )
+    symlink_groups = groups.filter(expr="route == 'symlink'").materialize()
+
+    # ---- counts (A1-A4) ----
+    total_files = {
+        r["repo"]: r["count()"]
+        for r in projected.groupby("repo").count().take_all()
+    }
+
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        la, lb = [], []
+        for svcs in batch["services"].to_pylist():
+            for a, b in combinations(svcs, 2):
+                la.append(a)
+                lb.append(b)
+        return pa.table({"la": la, "lb": lb})
+
+    pairwise_counts = {f"{la}↔{lb}": 0 for la, lb in combinations(labels, 2)}
+    for r in (
+        duplicate_groups.map_batches(_pair_rows, batch_format="pyarrow")
+        .groupby(["la", "lb"])
+        .count()
+        .take_all()
+    ):
+        pairwise_counts[f"{r['la']}↔{r['lb']}"] = r["count()"]
+
+    all_services_count = duplicate_groups.filter(
+        expr=f"n_services == {n_labels}"
+    ).count()
+
+    # ---- unique counts (J7, representative-path quirk preserved) ----
+    dup_rel_paths: dict[str, set[str]] = {l: set() for l in labels}
+    for ds_part in (duplicate_groups, conflict_groups, symlink_groups):
+        for r in ds_part.select_columns(["rel_path", "services"]).take_all():
+            rp = r["rel_path"].lower()
+            for l in r["services"]:
+                dup_rel_paths[l].add(rp)
+    dup_ref = ray.put(dup_rel_paths)
+
+    def _matched_mask(batch: pa.Table) -> pa.Table:
+        sets = ray.get(dup_ref)
+        repos = batch["repo"].to_pylist()
+        pls = batch["path_lower"].to_pylist()
+        keep = [pl in sets[rp] for rp, pl in zip(repos, pls)]
+        return batch.filter(pa.array(keep)).select(["repo"])
+
+    matched_counts = {
+        r["repo"]: r["count()"]
+        for r in projected.map_batches(_matched_mask, batch_format="pyarrow")
+        .groupby("repo")
+        .count()
+        .take_all()
+    }
+    unique_counts = {
+        l: total_files.get(l, 0) - matched_counts.get(l, 0) for l in labels
+    }
+
+    # ---- folder analytics (F1-F6): distributed name-set aggregation,
+    # driver-side rollups over the (small) folder table ----
+    def _folder_names(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": [table["repo"][0].as_py()],
+                "folder": [table["folder"][0].as_py()],
+                "names": [sorted(set(table["name"].to_pylist()))],
+            }
+        )
+
+    folder_sets: dict[str, dict[str, set[str]]] = {l: {} for l in labels}
+    for r in (
+        projected.groupby(["repo", "folder"])
+        .map_groups(_folder_names, batch_format="pyarrow")
+        .take_all()
+    ):
+        folder_sets[r["repo"]][r["folder"]] = set(r["names"])
+
+    folder_comparisons, relationship_counts, safe_roots = folder_analysis(
+        folder_sets, labels
+    )
+
+    return ExactResult(
+        labels=labels,
+        total_files=total_files,
+        duplicate_groups=duplicate_groups,
+        conflict_groups=conflict_groups,
+        symlinks=symlink_groups,
+        unique_counts=unique_counts,
+        pairwise_counts=pairwise_counts,
+        all_services_count=all_services_count,
+        folder_comparisons=folder_comparisons,
+        relationship_counts=relationship_counts,
+        safe_to_delete_roots=safe_roots,
+    )

@@ -1,0 +1,158 @@
+"""Integration: the Ray exact-tier pipeline vs the pure-Python oracle
+on the deterministic synthetic corpus (FIXTURES.md scenarios)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cloud_dedup_ray.config import DedupConfig
+from cloud_dedup_ray.oracle.reference_oracle import analyze_oracle
+from cloud_dedup_ray.pipelines.exact import analyze_corpus
+
+
+def _corpus_rows(table: pa.Table) -> list[dict]:
+    return table.to_pylist()
+
+
+@pytest.fixture(scope="module")
+def results(small_corpus):
+    cfg = DedupConfig()
+    res = analyze_corpus(ray.data.from_arrow(small_corpus), cfg)
+    oracle = analyze_oracle(_corpus_rows(small_corpus))
+    return res, oracle
+
+
+def _group_keyset(df):
+    return {
+        (r.rel_path, r.content_match, r.version_status, tuple(r.services))
+        for r in df.itertuples()
+    }
+
+
+def test_labels_and_totals(results):
+    res, oracle = results
+    assert res.labels == oracle["labels"]
+    assert res.total_files == oracle["total_files"]
+
+
+def test_duplicate_groups_match(results):
+    res, oracle = results
+    got = _group_keyset(res.duplicate_groups.to_pandas())
+    want = {
+        (g["rel_path"], g["content_match"], g["version_status"], tuple(g["services"]))
+        for g in oracle["duplicate_groups"]
+    }
+    assert got == want
+
+
+def test_conflict_groups_match(results):
+    res, oracle = results
+    got = _group_keyset(res.conflict_groups.to_pandas())
+    want = {
+        (g["rel_path"], g["content_match"], g["version_status"], tuple(g["services"]))
+        for g in oracle["conflict_groups"]
+    }
+    assert got == want
+    # mixed-type rows present
+    assert any(cm == "mixed_type" for (_, cm, _, _) in got)
+
+
+def test_symlinks_match(results):
+    res, oracle = results
+    sym = res.symlinks.to_pandas()
+    got = {
+        (r.rel_path, r.version_status, tuple(r.services)) for r in sym.itertuples()
+    }
+    want = {
+        (s["rel_path"], s["symlink_status"], tuple(s["services"]))
+        for s in oracle["symlinks"]
+    }
+    assert got == want
+    assert len(got) >= 3  # identical, diverged, dangling planted
+
+
+def test_newest_in_and_age(results):
+    res, oracle = results
+    got = {
+        r.rel_path: (r.newest_in, r.age_difference_days)
+        for r in res.duplicate_groups.to_pandas().itertuples()
+    }
+    for g in oracle["duplicate_groups"]:
+        assert got[g["rel_path"]] == (g["newest_in"], g["age_difference_days"])
+
+
+def test_counts_match(results):
+    res, oracle = results
+    assert res.pairwise_counts == oracle["pairwise_counts"]
+    assert res.all_services_count == oracle["all_services_count"]
+    assert res.unique_counts == oracle["unique_counts"]
+
+
+def test_folder_analysis_matches(results):
+    res, oracle = results
+    got = {
+        fc["folder_path"]: (
+            fc["relationship"],
+            fc["subtree_status"],
+            fc["total_unique_files"],
+            fc["subtree_total_files"],
+            tuple(fc["services_present"]),
+        )
+        for fc in res.folder_comparisons
+    }
+    want = {
+        fc["folder_path"]: (
+            fc["relationship"],
+            fc["subtree_status"],
+            fc["total_unique_files"],
+            fc["subtree_total_files"],
+            tuple(fc["services_present"]),
+        )
+        for fc in oracle["folder_comparisons"]
+    }
+    assert got == want
+    assert res.relationship_counts == oracle["relationship_counts"]
+    assert [f["folder_path"] for f in res.safe_to_delete_roots] == [
+        f["folder_path"] for f in oracle["safe_to_delete_roots"]
+    ]
+
+
+def test_no_checksum_mode(small_corpus):
+    cfg = DedupConfig(use_checksum=False)
+    res = analyze_corpus(ray.data.from_arrow(small_corpus), cfg)
+    oracle = analyze_oracle(_corpus_rows(small_corpus), use_checksum=False)
+    dup = res.duplicate_groups.to_pandas()
+    assert set(dup.content_match) <= {"identical", "unverified"}
+    # conflicts can only be mixed_type without checksums (no 'different')
+    con = res.conflict_groups.to_pandas()
+    assert set(con.content_match) <= {"mixed_type"}
+    got = _group_keyset(dup)
+    want = {
+        (g["rel_path"], g["content_match"], g["version_status"], tuple(g["services"]))
+        for g in oracle["duplicate_groups"]
+    }
+    assert got == want
+
+
+def test_include_hidden_mode(small_corpus):
+    cfg = DedupConfig(skip_hidden=False)
+    res = analyze_corpus(ray.data.from_arrow(small_corpus), cfg)
+    oracle = analyze_oracle(_corpus_rows(small_corpus), skip_hidden=True)
+    # hidden dup (.hidden.txt planted in 2 repos) now appears
+    dup_paths = set(res.duplicate_groups.to_pandas().rel_path)
+    assert ".hidden.txt" in dup_paths
+    # .DS_Store still always excluded
+    assert not any("DS_Store" in p for p in dup_paths)
+    assert res.total_files != oracle["total_files"]
+
+
+def test_result_dict_shape(results):
+    res, _ = results
+    d = res.to_result_dict()
+    for k in (
+        "labels total_files duplicate_groups conflict_groups symlinks "
+        "unique_counts pairwise_counts all_services_count folder_comparisons "
+        "relationship_counts safe_to_delete_roots"
+    ).split():
+        assert k in d
+    assert all("service_details" in g for g in d["duplicate_groups"])

@@ -1,0 +1,201 @@
+"""Unit tests for pure kernels: path utils, classify, minhash, simhash,
+text analysis, union-find."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cloud_dedup_ray.functions import pathutils
+from cloud_dedup_ray.functions.classify import Rec, classify_pair, reduce_group
+from cloud_dedup_ray.functions.minhash import (
+    MinHasher,
+    band_hashes,
+    estimate_jaccard,
+    exact_jaccard,
+)
+from cloud_dedup_ray.functions.simhash import hamming64, simhash_tokens
+from cloud_dedup_ray.functions.text import (
+    lang_id_one,
+    normalize,
+    token_count,
+    token_shingles_hashed,
+)
+from cloud_dedup_ray.state.union_find import UnionFind
+
+
+def rec(repo="a", path="x/f.txt", size=5, mtime=1000.0, is_symlink=False,
+        target=None, h="h1", name=None):
+    base = path.rsplit("/", 1)[-1]
+    return Rec(
+        repo=repo, path=path, name=(name or base.lower()), name_orig=base,
+        folder=path.rsplit("/", 1)[0] if "/" in path else pathutils.ROOT,
+        size=size, mtime=mtime, is_symlink=is_symlink,
+        symlink_target=target, content_hash=h,
+    )
+
+
+# ---- path utils ----
+
+def test_basename_dirname():
+    arr = pa.array(["a/b/c.txt", "top.txt", "x/y"])
+    assert pathutils.basename(arr).to_pylist() == ["c.txt", "top.txt", "y"]
+    assert pathutils.dirname(arr).to_pylist() == ["a/b", "(root)", "x"]
+
+
+def test_ancestors():
+    assert pathutils.ancestors("a/b/c") == ["a", "a/b"]
+    assert pathutils.ancestors("a") == []
+    assert pathutils.ancestors(pathutils.ROOT) == []
+
+
+def test_hidden_masks():
+    arr = pa.array([".hidden", "a/.git/x", "ok/file", "a/.DS_Store", "sub/.DS_Store"])
+    assert pathutils.hidden_mask(arr).to_pylist() == [True, True, False, True, True]
+    assert pathutils.ds_store_mask(arr).to_pylist() == [False, False, False, True, True]
+
+
+# ---- classify_pair truth table (reference :203-268 semantics) ----
+
+def test_classify_identical_same():
+    assert classify_pair(rec(), rec(repo="b", mtime=1003.0), 5.0, True) == (
+        "identical", "same")
+
+
+def test_classify_identical_diverged():
+    assert classify_pair(rec(), rec(repo="b", mtime=99999.0), 5.0, True) == (
+        "identical", "diverged")
+
+
+def test_classify_different_phantom_and_diverged():
+    a, b = rec(), rec(repo="b", h="h2")
+    assert classify_pair(a, b, 5.0, True) == ("different", "phantom")
+    b2 = rec(repo="b", h="h2", mtime=9999.0)
+    assert classify_pair(a, b2, 5.0, True) == ("different", "diverged")
+
+
+def test_classify_empty_always_identical_same():
+    a = rec(size=0, mtime=1000.0, h="ha")
+    b = rec(repo="b", size=0, mtime=99999.0, h="hb")
+    assert classify_pair(a, b, 5.0, True) == ("identical", "same")
+
+
+def test_classify_no_checksum_unverified():
+    a, b = rec(h=None), rec(repo="b", h=None)
+    assert classify_pair(a, b, 5.0, False) == ("unverified", "same")
+    assert classify_pair(rec(), rec(repo="b"), 5.0, False) == ("unverified", "same")
+
+
+def test_classify_hash_failure_unverified():
+    assert classify_pair(rec(h=None), rec(repo="b"), 5.0, True) == (
+        "unverified", "same")
+
+
+def test_classify_symlinks():
+    a = rec(size=-1, is_symlink=True, target="/t1", h=None)
+    b = rec(repo="b", size=-1, is_symlink=True, target="/t1", h=None)
+    assert classify_pair(a, b, 5.0, True) == ("symlink", "target_identical")
+    c = rec(repo="b", size=-1, is_symlink=True, target="/t2", h=None)
+    assert classify_pair(a, c, 5.0, True) == ("symlink", "target_diverged")
+    d = rec(repo="b", size=-1, is_symlink=True, target=None, h=None)
+    assert classify_pair(a, d, 5.0, True) == ("symlink", "target_diverged")
+
+
+def test_classify_mixed_type():
+    a = rec(is_symlink=True, size=-1, target="/t", h=None)
+    b = rec(repo="b")
+    assert classify_pair(a, b, 5.0, True) == ("mixed_type", "conflict")
+
+
+def test_classify_name_size_mismatch_none():
+    assert classify_pair(rec(), rec(repo="b", size=9), 5.0, True) is None
+
+
+def test_reduce_group_precedence():
+    assert reduce_group([("identical", "same"), ("different", "diverged")]) == (
+        "different", "diverged")
+    assert reduce_group([("unverified", "phantom"), ("identical", "same")]) == (
+        "unverified", "phantom")
+
+
+# ---- minhash ----
+
+def test_minhash_jaccard_estimate_accuracy():
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 1 << 62, 600).astype(np.uint64)
+    a = base[:500]
+    b = base[100:600]  # true J = 400/700
+    mh = MinHasher(256, seed=1)
+    est = estimate_jaccard(mh.signature(a), mh.signature(b))
+    true = exact_jaccard(np.unique(a), np.unique(b))
+    assert abs(est - true) < 0.08
+
+
+def test_minhash_deterministic_across_instances():
+    x = np.arange(100, dtype=np.uint64) * 7919
+    s1 = MinHasher(128, seed=42).signature(x)
+    s2 = MinHasher(128, seed=42).signature(x)
+    assert (s1 == s2).all()
+
+
+def test_band_hashes_identical_docs_collide():
+    mh = MinHasher(128, seed=42)
+    x = np.arange(50, dtype=np.uint64) * 31 + 7
+    sigs = np.vstack([mh.signature(x), mh.signature(x)])
+    bh = band_hashes(sigs, 16)
+    assert bh.shape == (2, 16)
+    assert (bh[0] == bh[1]).all()
+
+
+def test_band_hashes_distinct_band_ids_differ():
+    mh = MinHasher(128, seed=42)
+    x = np.arange(50, dtype=np.uint64) * 31 + 7
+    bh = band_hashes(mh.signature(x)[None, :], 16)
+    # all 16 bands hashing the same doc should not be all-equal
+    assert len(set(bh[0].tolist())) > 1
+
+
+# ---- simhash ----
+
+def test_simhash_near_texts_close():
+    t1 = "the quick brown fox jumps over the lazy dog " * 10
+    t2 = t1.replace("lazy", "sleepy")
+    h1, h2 = simhash_tokens(t1.strip()), simhash_tokens(t2.strip())
+    d = hamming64(np.array([h1], np.uint64), np.uint64(h2))[0]
+    assert d <= 12
+    t3 = "completely unrelated words banana apple cherry grape " * 10
+    d2 = hamming64(np.array([h1], np.uint64), np.uint64(simhash_tokens(t3.strip())))[0]
+    assert d2 > d
+
+
+# ---- text ----
+
+def test_normalize_and_token_count():
+    arr = pa.array(["  Hello   World ", "", "one two\tthree\nfour"])
+    assert normalize(arr).to_pylist() == ["hello world", "", "one two three four"]
+    assert token_count(arr).to_pylist() == [2, 0, 4]
+
+
+def test_token_shingles():
+    s = token_shingles_hashed("a b c d e f", 3)
+    assert len(s) == 4  # 6 tokens → 4 shingles
+    assert token_shingles_hashed("", 3).size == 0
+    # short doc → one shingle of the whole text
+    assert len(token_shingles_hashed("a b", 3)) == 1
+
+
+def test_lang_id():
+    assert lang_id_one("the cat and the dog is in the house that is red") == "en"
+    assert lang_id_one("el perro de la casa que está en los árboles") == "es"
+    assert lang_id_one("这是一个中文句子这是一个中文句子") == "zh"
+    assert lang_id_one("") == "und"
+
+
+# ---- union-find ----
+
+def test_union_find_components():
+    uf = UnionFind()
+    uf.add_edges([(1, 2), (2, 3), (10, 11)])
+    comp = uf.components()
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert 99 not in comp
