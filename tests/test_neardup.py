@@ -1,0 +1,155 @@
+"""Near-dup tier: MinHash/LSH clustering + suffix-array containment on
+the planted-truth synthetic corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cloud_dedup_ray.config import DedupConfig
+from cloud_dedup_ray.functions.suffixarray import SuffixArray
+from cloud_dedup_ray.pipelines.neardup import cluster_corpus
+from cloud_dedup_ray.stages.project import project_corpus
+
+
+def test_suffix_array_contains():
+    sa = SuffixArray("the quick brown fox jumps over the lazy dog")
+    assert sa.contains("quick brown")
+    assert sa.contains("the lazy dog")
+    assert sa.contains("t")
+    assert not sa.contains("wolf")
+    assert not sa.contains("dog!")
+    assert SuffixArray("").contains("")
+    assert not SuffixArray("").contains("x")
+
+
+def test_suffix_array_matches_python_in():
+    import random
+
+    rng = random.Random(3)
+    text = "".join(rng.choice("abcab ") for _ in range(500))
+    sa = SuffixArray(text)
+    for _ in range(50):
+        i = rng.randrange(len(text))
+        j = i + rng.randrange(1, 20)
+        pat = text[i:j]
+        assert sa.contains(pat)
+    for _ in range(20):
+        pat = "".join(rng.choice("xyz") for _ in range(4))
+        assert sa.contains(pat) == (pat in text)
+
+
+@pytest.fixture(scope="module")
+def clustered(small_corpus):
+    ds = ray.data.from_arrow(small_corpus)
+    proj = project_corpus(ds, drop_content=False)
+    corpus = proj.filter(expr="is_symlink == False").materialize()
+    cfg = DedupConfig(bucket_pair_cap=32)
+    res = cluster_corpus(corpus, cfg)
+    rows = {r["doc_id"]: r["cluster_id"] for r in res.assignments.take_all()}
+    # doc_id → (repo, path, content)
+    meta = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in corpus.select_columns(["doc_id", "repo", "path"]).take_all()
+    }
+    return res, rows, meta, small_corpus
+
+
+def _ids_by_path(meta, pred):
+    return [d for d, (repo, path) in meta.items() if pred(repo, path)]
+
+
+def test_exact_clones_share_cluster(clustered, small_corpus):
+    res, rows, meta, corpus = clustered
+    # every content duplicated across repos (same path in 2 repos from datagen
+    # "exact clones") must cluster together
+    import collections
+
+    by_content = collections.defaultdict(list)
+    tbl = corpus.to_pylist()
+    for r in tbl:
+        if r["is_symlink"] or len(r["content"]) < 50:
+            continue
+        by_content[r["content"]].append((r["repo"], r["path"]))
+    path_to_doc = {(repo, p): d for d, (repo, p) in meta.items()}
+    n_groups = 0
+    for content, locs in by_content.items():
+        if len(locs) < 2:
+            continue
+        ids = [path_to_doc[l] for l in locs if l in path_to_doc]
+        if len(ids) < 2:
+            continue
+        n_groups += 1
+        assert len({rows[d] for d in ids}) == 1, f"clones split: {locs}"
+    assert n_groups > 5
+
+
+def test_license_boilerplate_single_cluster(clustered):
+    res, rows, meta, _ = clustered
+    lic = _ids_by_path(meta, lambda repo, p: "LICENSE" in p)
+    assert len(lic) > 3
+    assert len({rows[d] for d in lic}) == 1
+
+
+def test_near_dups_cluster(clustered):
+    res, rows, meta, _ = clustered
+    # vendor/<orig path> rows are small mutations of the original
+    vendor = _ids_by_path(meta, lambda repo, p: p.startswith("vendor/"))
+    path_to_doc = {(repo, p): d for d, (repo, p) in meta.items()}
+    hits = total = 0
+    for d, (repo, p) in meta.items():
+        if not p.startswith("vendor/"):
+            continue
+        orig = p[len("vendor/"):]
+        origs = [dd for dd, (r2, p2) in meta.items() if p2 == orig]
+        if not origs:
+            continue
+        total += 1
+        if any(rows[d] == rows[o] for o in origs):
+            hits += 1
+    assert total > 5
+    assert hits / total >= 0.9, f"near-dup recall {hits}/{total}"
+
+
+def test_containment_detected(clustered):
+    res, rows, meta, _ = clustered
+    # bundle files embed a base file verbatim
+    bundles = _ids_by_path(meta, lambda repo, p: p.startswith("bundle/"))
+    assert bundles
+    n_joined = sum(
+        1 for d in bundles
+        if any(rows[d] == rows[o] and o != d for o in rows)
+    )
+    assert n_joined >= 1
+
+
+def test_non_dups_stay_singletons(clustered):
+    res, rows, meta, _ = clustered
+    # a majority of base files are unique → their clusters are singletons
+    import collections
+
+    sizes = collections.Counter(rows.values())
+    singleton_docs = sum(1 for d, c in rows.items() if sizes[c] == 1)
+    assert singleton_docs > len(rows) * 0.4
+
+
+def test_metrics_present(clustered):
+    res, _, _, _ = clustered
+    for k in (
+        "n_candidates n_verified n_clusters lsh_buckets lsh_bucket_max "
+        "lsh_top10_buckets sec_sign sec_lsh_verify"
+    ).split():
+        assert k in res.metrics
+    assert res.metrics["n_verified"] <= res.metrics["n_candidates"]
+
+
+def test_deterministic_across_runs(small_corpus):
+    ds = ray.data.from_arrow(small_corpus)
+    proj = project_corpus(ds, drop_content=False)
+    corpus = proj.filter(expr="is_symlink == False").materialize()
+    cfg = DedupConfig()
+    r1 = cluster_corpus(corpus, cfg, with_containment=False)
+    r2 = cluster_corpus(corpus, cfg, with_containment=False)
+    a1 = {r["doc_id"]: r["cluster_id"] for r in r1.assignments.take_all()}
+    a2 = {r["doc_id"]: r["cluster_id"] for r in r2.assignments.take_all()}
+    assert a1 == a2
