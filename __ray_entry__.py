@@ -1,44 +1,311 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship near-dup clustering at sf0.001.
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2
+plus the training-data ops).
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query; sketch /
+clustering / corpus-pipeline ops are rows-only by design (verified by
+their own pytest oracles instead — see tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in cloud_dedup_ray) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_CACHE: dict[str, Any] = {}
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
 
+def _corpus_scale(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 300, "sf0.01": 600, "sf0.1": 3000}.get(name, 600)
+
+
+def _corpus_dir(sf_dir: str) -> str:
+    from cloud_dedup_ray.datagen import write_corpus
+
+    n = _corpus_scale(sf_dir)
+    out = f"/tmp/cdr_corpus/n{n}"
+    return write_corpus(out, seed=42, n_files=n, n_repos=3, n_shards=8)
+
+
+def _exact_result(sf_dir: str):
+    """Cached exact-tier analysis of the deterministic corpus for this
+    scale (several cd_* queries share it)."""
+    key = f"exact:{_corpus_scale(sf_dir)}"
+    if key not in _CORPUS_CACHE:
+        from cloud_dedup_ray.config import DedupConfig
+        from cloud_dedup_ray.pipelines.exact import analyze_corpus
+        from cloud_dedup_ray.sources.corpus import read_corpus
+
+        ds = read_corpus(_corpus_dir(sf_dir))
+        _CORPUS_CACHE[key] = analyze_corpus(ds, DedupConfig())
+    return _CORPUS_CACHE[key]
+
+
+def _groups_frame(ds):
+    df = ds.to_pandas()
+    cols = [
+        "rel_path", "name_orig", "size", "content_match", "version_status",
+        "newest_in", "age_difference_days", "n_services",
+    ]
+    return df[cols].sort_values("rel_path").reset_index(drop=True)
+
+
+def entry():
+    """Flagship: near-dup clustering of sf0.001 documents + cluster-size
+    rollup (Dataset in, pandas summary out)."""
+    from cloud_dedup_ray.pipelines.textops import docs_minhash_clusters
+
+    out = docs_minhash_clusters("/root/testdata/sf0.001")
+    return out
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cloud_dedup_ray.pipelines import relational as R
+    from cloud_dedup_ray.pipelines import similarity as S
+    from cloud_dedup_ray.pipelines import textops as T
+    from cloud_dedup_ray.pipelines.multimodal import image_features
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def cd_duplicate_groups(sf_dir):
+        return _groups_frame(_exact_result(sf_dir).duplicate_groups)
 
+    def cd_conflict_groups(sf_dir):
+        return _groups_frame(_exact_result(sf_dir).conflict_groups)
+
+    def cd_symlinks(sf_dir):
+        df = _exact_result(sf_dir).symlinks.to_pandas()
+        return (
+            df[["rel_path", "name_orig", "version_status", "n_services"]]
+            .rename(columns={"version_status": "symlink_status"})
+            .sort_values("rel_path")
+            .reset_index(drop=True)
+        )
+
+    def cd_folder_comparisons(sf_dir):
+        import pandas as pd
+
+        res = _exact_result(sf_dir)
+        return pd.DataFrame(
+            [
+                {
+                    "folder_path": fc["folder_path"],
+                    "relationship": fc["relationship"],
+                    "subtree_status": fc["subtree_status"],
+                    "total_unique_files": fc["total_unique_files"],
+                    "subtree_total_files": fc["subtree_total_files"],
+                    "n_services": len(fc["services_present"]),
+                }
+                for fc in res.folder_comparisons
+            ]
+        ).sort_values("folder_path").reset_index(drop=True)
+
+    def cd_counts(sf_dir):
+        import pandas as pd
+
+        res = _exact_result(sf_dir)
+        rows = [
+            {"metric": f"total_files:{k}", "value": v}
+            for k, v in sorted(res.total_files.items())
+        ]
+        rows += [
+            {"metric": f"unique:{k}", "value": v}
+            for k, v in sorted(res.unique_counts.items())
+        ]
+        rows += [
+            {"metric": f"pair:{k}", "value": v}
+            for k, v in sorted(res.pairwise_counts.items())
+        ]
+        rows.append({"metric": "all_services", "value": res.all_services_count})
+        return pd.DataFrame(rows)
+
+    def cd_safe_roots(sf_dir):
+        import pandas as pd
+
+        res = _exact_result(sf_dir)
+        return pd.DataFrame(
+            {
+                "folder_path": sorted(
+                    f["folder_path"] for f in res.safe_to_delete_roots
+                )
+            }
+        )
+
+    def nd_cluster_assignments(sf_dir):
+        from cloud_dedup_ray.config import DedupConfig
+        from cloud_dedup_ray.pipelines.neardup import cluster_corpus
+        from cloud_dedup_ray.sources.corpus import read_corpus
+        from cloud_dedup_ray.stages.project import project_corpus
+
+        key = f"nd:{_corpus_scale(sf_dir)}"
+        if key not in _CORPUS_CACHE:
+            corpus = (
+                project_corpus(read_corpus(_corpus_dir(sf_dir)), drop_content=False)
+                .filter(expr="is_symlink == False")
+                .materialize()
+            )
+            res = cluster_corpus(corpus, DedupConfig())
+            _CORPUS_CACHE[key] = (
+                res.assignments.to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+        return _CORPUS_CACHE[key]
+
+    return {
+        # relational operator coverage (SQL-checked)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_revenue_orders": R.q3_top_revenue_orders,
+        "orders_by_status": R.orders_by_status,
+        "events_hourly_windows": R.events_hourly_windows,
+        "nations_per_region": R.nations_per_region,
+        "customer_balance_by_nation": R.customer_balance_by_nation,
+        "part_type_stats": R.part_type_stats,
+        "top_click_events": R.top_click_events,
+        # text / training-data ops (SQL-checked)
+        "docs_exact_dedup": T.docs_exact_dedup,
+        "docs_token_count": T.docs_token_count,
+        "docs_fingerprint": T.docs_fingerprint,
+        "docs_stats_by_lang": T.docs_stats_by_lang,
+        # text ops (rows-only; verified by pytest oracles)
+        "docs_lang_id": T.docs_lang_id,
+        "docs_quality": T.docs_quality,
+        "docs_minhash_clusters": T.docs_minhash_clusters,
+        "docs_simhash": T.docs_simhash,
+        "docs_simhash_pairs": T.docs_simhash_pairs,
+        "docs_ngram_jaccard_pairs": T.docs_ngram_jaccard_pairs,
+        "docs_fingerprint64": T.docs_fingerprint64,
+        # similarity search
+        "emb_knn_bruteforce": S.emb_knn_bruteforce,
+        "emb_knn_lsh": S.emb_knn_lsh,
+        "emb_neardup_pairs": S.emb_neardup_pairs,
+        # multimodal plumbing (stubbed decode kernel)
+        "mm_image_features": image_features,
+        # cloud-dedup exact tier over the deterministic corpus
+        "cd_duplicate_groups": cd_duplicate_groups,
+        "cd_conflict_groups": cd_conflict_groups,
+        "cd_symlinks": cd_symlinks,
+        "cd_folder_comparisons": cd_folder_comparisons,
+        "cd_counts": cd_counts,
+        "cd_safe_roots": cd_safe_roots,
+        # near-dup tier over the deterministic corpus
+        "nd_cluster_assignments": nd_cluster_assignments,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+            LIMIT 10
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "events_hourly_windows": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "nations_per_region": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "customer_balance_by_nation": """
+            SELECT n_name, round(sum(c_acctbal), 2) AS total_bal,
+                   count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "part_type_stats": """
+            SELECT p_type, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part GROUP BY p_type
+        """,
+        "top_click_events": """
+            SELECT event_id, user_id, round(value, 4) AS value FROM (
+                SELECT event_id, user_id, value
+                FROM events WHERE event_type = 'click'
+                ORDER BY value DESC, event_id LIMIT 20
+            )
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS rep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "docs_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "docs_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "emb_knn_bruteforce": """
+            SELECT vec_id, round(cs, 4) AS cos_sim FROM (
+                SELECT e.vec_id AS vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS cs
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0
+                ORDER BY cs DESC, e.vec_id
+                LIMIT 10
+            )
+        """,
+        "emb_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) >= 0.38
+        """,
+    }

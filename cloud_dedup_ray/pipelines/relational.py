@@ -1,0 +1,241 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables —
+grouped aggregates, multi-way joins, broadcast joins, window-bucketed
+event aggregation, filter+sort+limit. Every query here has an exact
+DuckDB oracle twin in ``__ray_entry__.oracle_sql()`` (column names and
+rounding matched on both sides).
+
+Join strategy notes (scale):
+  * dimension joins (region⋈nation, nation⋈customer) broadcast the
+    small side via ``ray.put`` and map it inside ``map_batches`` — no
+    shuffle;
+  * the fact-fact join (orders⋈lineitem) pre-aggregates lineitem by
+    l_orderkey FIRST (combiner before the wide groupby) so the join
+    input is one row per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary with partial (in-batch) pre-agg."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("disc_price", disc)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ orders ⋈ lineitem, BUILDING segment, top-10 revenue.
+    customer keys broadcast; lineitem pre-aggregated per order key."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    b_ref = ray.put(building)
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(b_ref)
+        mask = pa.array([k in keys for k in t["o_custkey"].to_pylist()])
+        return t.filter(mask).select(["o_orderkey"])
+
+    ok = {
+        r["o_orderkey"]
+        for r in orders.map_batches(filt_orders, batch_format="pyarrow").take_all()
+    }
+    ok_ref = ray.put(ok)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        keys = ray.get(ok_ref)
+        mask = pa.array([k in keys for k in t["l_orderkey"].to_pylist()])
+        t = t.filter(mask)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
+        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(partial_rev, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg
+
+
+def orders_by_status(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "orders", ["o_orderstatus"])
+        .groupby("o_orderstatus")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_orders"})
+    )
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def events_hourly_windows(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per user over the events stream table
+    (streaming-shaped workload → groupby(key, window) aggregate)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        secs = pc.cast(t["ts"], pa.int64())  # µs since epoch
+        bucket = pc.divide(secs, pa.scalar(3_600_000_000, pa.int64()))
+        df = pa.table(
+            {"user_id": t["user_id"], "hour_bucket": bucket, "value": t["value"]}
+        ).to_pandas()
+        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def nations_per_region(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: 5-row region table shipped into the nation scan."""
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in _read(sf_dir, "region").take_all()
+    }
+    r_ref = ray.put(region)
+    ds = _read(sf_dir, "nation", ["n_regionkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(r_ref)
+        return pa.table(
+            {"r_name": [m[k] for k in t["n_regionkey"].to_pylist()]}
+        )
+
+    out = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_nations"})
+    )
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def customer_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    nation = {
+        r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()
+    }
+    n_ref = ray.put(nation)
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(n_ref)
+        return pa.table(
+            {
+                "n_name": [m[k] for k in t["c_nationkey"].to_pylist()],
+                "c_acctbal": t["c_acctbal"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("c_acctbal", alias_name="total_bal"),
+            Count(alias_name="n_customers"),
+        )
+        .to_pandas()
+    )
+    out["total_bal"] = out["total_bal"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price"),
+        )
+        .to_pandas()
+    )
+    out["avg_price"] = out["avg_price"].round(4)
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+def top_click_events(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    out = (
+        ds.filter(expr="event_type == 'click'")
+        .sort(["value", "event_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["value"] = out["value"].round(4)
+    return out[["event_id", "user_id", "value"]]

@@ -1,0 +1,190 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* ``emb_knn_bruteforce`` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one float64 matmul
+  against it (vectorized; zero-copy Arrow list column → numpy), partial
+  top-k per batch, final merge on the driver. This is the baseline and
+  the oracle-checkable path (DuckDB ``list_cosine_similarity`` twin).
+* ``emb_knn_lsh`` — random-hyperplane LSH bucketing (the scale path):
+  sign-pattern buckets shrink the candidate set; exact re-rank inside
+  the union of the query's buckets. Recall measured against brute force
+  in tests.
+* ``emb_neardup_pairs`` — embedding-cosine near-dup pairs ≥ threshold
+  via blocked matmul (candidate generation at scale would reuse the
+  LSH buckets; at testdata scale the full blocked product is exact and
+  cheap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(t["vec_id"], np.int64)
+    col = t["embedding"].combine_chunks()
+    flat = np.asarray(col.flatten(), np.float64)
+    offsets = np.asarray(col.offsets)
+    dim = offsets[1] - offsets[0]
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def emb_knn_bruteforce(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> pd.DataFrame:
+    """Exact top-k by cosine against the embedding of ``query_vec_id``."""
+    ds = _emb(sf_dir)
+    q = None
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        ids, m = _batch_matrix(t)
+        hit = np.nonzero(ids == query_vec_id)[0]
+        if hit.size:
+            q = m[hit[0]]
+            break
+    assert q is not None, f"query vec_id {query_vec_id} not found"
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, m = _batch_matrix(t)
+        keep = ids != query_vec_id
+        ids, m = ids[keep], m[keep]
+        sims = _normalize_rows(m) @ qv
+        order = np.argsort(-sims, kind="stable")[:k]
+        return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
+
+    parts = ray.get(
+        [ref for ref in ds.map_batches(topk_partial, batch_format="pyarrow").to_arrow_refs()]
+    )
+    allp = pa.concat_tables(parts).to_pandas()
+    allp = allp.sort_values(
+        ["cos_sim", "vec_id"], ascending=[False, True]
+    ).head(k)
+    allp["cos_sim"] = allp["cos_sim"].round(4)
+    return allp.reset_index(drop=True)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signer: one seeded projection matrix per actor."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        return ((m @ self.planes) > 0) @ self.weights
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        return pa.table({"vec_id": ids, "bucket": self.bucket(m)})
+
+
+def emb_knn_lsh(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    n_planes: int = 6, n_tables: int = 8,
+) -> pd.DataFrame:
+    """ANN top-k: multi-table random-hyperplane LSH candidate
+    generation, exact cosine re-rank of candidates."""
+    ds = _emb(sf_dir).materialize()
+    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = len(first["embedding"][0].as_py())
+
+    signers = [
+        HyperplaneLSH(dim, n_planes, seed=1000 + t) for t in range(n_tables)
+    ]
+    q = None
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        ids, m = _batch_matrix(t)
+        hit = np.nonzero(ids == query_vec_id)[0]
+        if hit.size:
+            q = m[hit[0]]
+            break
+    q_buckets = [int(s.bucket(q[None, :])[0]) for s in signers]
+    bk_ref = ray.put(q_buckets)
+    sg_ref = ray.put(signers)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        sgs, qb = ray.get(sg_ref), ray.get(bk_ref)
+        ids, m = _batch_matrix(t)
+        mask = np.zeros(len(ids), bool)
+        for s, b in zip(sgs, qb):
+            mask |= s.bucket(m) == b
+        mask &= ids != query_vec_id
+        keep = t.filter(pa.array(mask))
+        return keep
+
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    def rerank(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        sims = _normalize_rows(m) @ qv
+        order = np.argsort(-sims, kind="stable")[:k]
+        return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
+
+    parts = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .map_batches(rerank, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    out["cos_sim"] = out["cos_sim"].round(4)
+    return out.reset_index(drop=True)
+
+
+def emb_neardup_pairs(sf_dir: str, threshold: float = 0.38) -> pd.DataFrame:
+    """All pairs with cosine ≥ threshold via blocked matmul: the full
+    (normalized) matrix is broadcast once; each batch multiplies its
+    slice against it (O(n²/B) work per task, no Python loops)."""
+    ds = _emb(sf_dir)
+    mats = [
+        _batch_matrix(t) for t in ds.iter_batches(batch_format="pyarrow")
+    ]
+    all_ids = np.concatenate([i for i, _ in mats])
+    full = _normalize_rows(np.concatenate([m for _, m in mats]))
+    full_ref = ray.put((all_ids, full))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(full_ref)
+        ids, m = _batch_matrix(t)
+        sims = _normalize_rows(m) @ m_all.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = ids[ii], ids_all[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": a[keep],
+                "vec_b": b[keep],
+                "cos_sim": np.round(sims[ii, jj][keep], 4),
+            }
+        )
+
+    out = ds.map_batches(block_pairs, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
