@@ -1,0 +1,176 @@
+"""Benchmark driver.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(num_cpus=$RAY_GRAFT_CPUS)``
+(default 32) and prints ONE JSON line::
+
+    {"metric": "end_to_end_dedup_sec", "value": <headline sec>,
+     "unit": "sec", "queries": {...}, "sf": 0.1, "num_cpus": N,
+     "files_per_sec": ..., "corpus_rows": ..., "skew": {...}}
+
+``--scaling``: runs the headline job twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs and
+the scaling efficiency (BASELINE.md protocol). Note: this host exposes
+one physical CPU; the two levels measure logical-CPU oversubscription,
+documented as such.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _bench_corpus_dir(sf: float) -> str:
+    """Deterministic bench corpus sized to the scale factor."""
+    from cloud_dedup_ray.datagen import write_corpus
+
+    n = {0.001: 600, 0.01: 2000, 0.1: 20000}.get(sf, 2000)
+    return write_corpus(f"/tmp/cdr_bench/n{n}", seed=42, n_files=n,
+                        n_repos=4, n_shards=64)
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from cloud_dedup_ray.config import DedupConfig
+    from cloud_dedup_ray.pipelines.exact import analyze_corpus
+    from cloud_dedup_ray.pipelines.neardup import cluster_corpus
+    from cloud_dedup_ray.sources.corpus import read_corpus
+    from cloud_dedup_ray.stages.project import project_corpus
+
+    corpus_dir = _bench_corpus_dir(sf)
+    # warm page cache so we measure compute+shuffle, not first disk read
+    read_corpus(corpus_dir).count()
+
+    queries: dict[str, float] = {}
+    cfg = DedupConfig(signer_concurrency=(2, max(2, num_cpus // 2)))
+
+    # --- headline: end-to-end two-tier dedup over the code corpus ---
+    t0 = time.perf_counter()
+    corpus = (
+        project_corpus(read_corpus(corpus_dir), drop_content=False)
+        .filter(expr="is_symlink == False")
+        .materialize()
+    )
+    n_rows = corpus.count()
+    nd = cluster_corpus(corpus, cfg, with_containment=True)
+    nd.assignments.write_parquet("/tmp/cdr_bench_out/assignments")
+    t_near = time.perf_counter() - t0
+    queries["neardup_cluster"] = round(t_near, 3)
+
+    t0 = time.perf_counter()
+    res = analyze_corpus(read_corpus(corpus_dir), DedupConfig())
+    # consume the group datasets (they are lazy-ish but materialized)
+    n_groups = (
+        res.duplicate_groups.count()
+        + res.conflict_groups.count()
+        + res.symlinks.count()
+    )
+    t_exact = time.perf_counter() - t0
+    queries["exact_tier"] = round(t_exact, 3)
+
+    # --- documents minhash clustering at this sf ---
+    from cloud_dedup_ray.pipelines.textops import docs_minhash_clusters
+
+    t0 = time.perf_counter()
+    docs_minhash_clusters(sf_dir)
+    queries["docs_minhash_clusters"] = round(time.perf_counter() - t0, 3)
+
+    # --- representative relational + similarity ops ---
+    from cloud_dedup_ray.pipelines.relational import q1_pricing_summary
+    from cloud_dedup_ray.pipelines.similarity import emb_knn_bruteforce
+
+    t0 = time.perf_counter()
+    q1_pricing_summary(sf_dir)
+    queries["q1_pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    emb_knn_bruteforce(sf_dir)
+    queries["emb_knn_bruteforce"] = round(time.perf_counter() - t0, 3)
+
+    headline = queries["neardup_cluster"] + queries["exact_tier"]
+    out = {
+        "metric": "end_to_end_dedup_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "corpus_rows": n_rows,
+        "n_dedup_groups": n_groups,
+        "files_per_sec": round(n_rows / headline, 1),
+        "skew": {
+            k: nd.metrics[k]
+            for k in ("lsh_buckets", "lsh_bucket_max", "lsh_bucket_p99",
+                      "lsh_top10_buckets")
+        },
+        "stage_sec": {
+            k: nd.metrics[k]
+            for k in ("sec_sign", "sec_lsh_verify", "sec_containment")
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    lo, hi = (
+        int(os.environ.get("SCALE_LO", "8")),
+        int(os.environ.get("SCALE_HI", "32")),
+    )
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"files_per_sec_{lo}": r_lo["files_per_sec"],
+        f"files_per_sec_{hi}": r_hi["files_per_sec"],
+        "sf": r_lo["sf"],
+        "note": (
+            "single-host logical-CPU oversubscription (nproc=1); "
+            "two fresh ray.init processes on identical input"
+        ),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

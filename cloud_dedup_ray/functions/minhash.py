@@ -46,30 +46,67 @@ class MinHasher:
         v = np.where(v >= _MERSENNE61, v - _MERSENNE61, v)
         return v.min(axis=0)
 
-    def signatures(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
-        """Batch variant: list of shingle arrays → (n_docs, num_perm)."""
-        out = np.empty((len(shingle_sets), self.num_perm), np.uint64)
-        for i, s in enumerate(shingle_sets):
-            out[i] = self.signature(s)
+    def signatures(
+        self, shingle_sets: list[np.ndarray], chunk_shingles: int = 1 << 16
+    ) -> np.ndarray:
+        """Batch variant: list of shingle arrays → (n_docs, num_perm).
+
+        Concatenates the sets and computes permuted values for many docs
+        at once, reducing per-doc minima with ``np.minimum.reduceat`` —
+        one big vector op per chunk instead of a per-doc broadcast.
+        ``chunk_shingles`` bounds the (chunk × num_perm × 8B) temporary.
+        """
+        n_docs = len(shingle_sets)
+        out = np.full((n_docs, self.num_perm), _MERSENNE61, np.uint64)
+        lens = np.fromiter((s.size for s in shingle_sets), np.int64, n_docs)
+        nonempty = np.nonzero(lens > 0)[0]
+        if nonempty.size == 0:
+            return out
+        # chunk document ranges so each concat stays bounded
+        start = 0
+        while start < nonempty.size:
+            end = start
+            total = 0
+            while end < nonempty.size and (
+                total + lens[nonempty[end]] <= chunk_shingles or end == start
+            ):
+                total += lens[nonempty[end]]
+                end += 1
+            docs = nonempty[start:end]
+            flat = np.concatenate([shingle_sets[i] for i in docs])
+            x = (flat & _MERSENNE61)[:, None]
+            v = x * self.a[None, :] + self.b[None, :]
+            v = (v & _MERSENNE61) + (v >> np.uint64(61))
+            v = np.where(v >= _MERSENNE61, v - _MERSENNE61, v)
+            offsets = np.zeros(len(docs), np.int64)
+            np.cumsum(lens[docs][:-1], out=offsets[1:])
+            out[docs] = np.minimum.reduceat(v, offsets, axis=0)
+            start = end
         return out
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def band_hashes(sigs: np.ndarray, num_bands: int) -> np.ndarray:
     """(n_docs, num_perm) signatures → (n_docs, num_bands) int64 band
-    hashes. Each band's rows are hashed with blake2b so distinct bands
-    with equal row values don't collide across band ids."""
+    hashes, fully vectorized: a per-position splitmix64 mix folded with
+    XOR across each band's rows. Equal bands ⇒ equal hashes; the LSH
+    grouping key is (band_id, band_hash), so cross-band collisions are
+    harmless — within-band collision odds are ~2^-64 per bucket pair."""
     n_docs, num_perm = sigs.shape
     r = num_perm // num_bands
-    out = np.empty((n_docs, num_bands), np.int64)
-    raw = np.ascontiguousarray(sigs)
-    for band in range(num_bands):
-        block = raw[:, band * r : (band + 1) * r]
-        view = np.ascontiguousarray(block).view(np.uint8).reshape(n_docs, -1)
-        for i in range(n_docs):
-            h = hashlib.blake2b(view[i].tobytes(), digest_size=8,
-                                salt=band.to_bytes(8, "little")).digest()
-            out[i, band] = int.from_bytes(h, "big", signed=True)
-    return out
+    blocks = sigs.reshape(n_docs, num_bands, r)
+    # distinct per-position tweak so permuted row orders hash differently
+    tweak = np.arange(r, dtype=np.uint64) * np.uint64(0xD6E8FEB86659FD93)
+    mixed = _splitmix64(blocks ^ tweak[None, None, :])
+    folded = np.bitwise_xor.reduce(mixed, axis=2)
+    return _splitmix64(folded).view(np.int64)
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -44,26 +44,56 @@ def char_ngrams(text: str, n: int) -> set[str]:
     return {text[i : i + n] for i in range(len(text) - n + 1)}
 
 
-def token_shingles_hashed(text: str, k: int) -> np.ndarray:
+_SHINGLE_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+class TokenHashCache:
+    """Memoized 64-bit token hashes. Source-code/text vocabularies repeat
+    heavily, so caching turns per-shingle string hashing into dict hits;
+    the k-shingle hash is then a vectorized rolling polynomial over the
+    token-hash array (position-sensitive, mod 2^64)."""
+
+    __slots__ = ("cache",)
+
+    def __init__(self) -> None:
+        self.cache: dict[str, int] = {}
+
+    def hash_tokens(self, toks: list[str]) -> np.ndarray:
+        c = self.cache
+        out = np.empty(len(toks), np.uint64)
+        for i, t in enumerate(toks):
+            h = c.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                c[t] = h
+            out[i] = h
+        return out
+
+
+def token_shingles_hashed(
+    text: str, k: int, cache: TokenHashCache | None = None
+) -> np.ndarray:
     """Distinct k-token shingles of a (pre-normalized) text, hashed to
-    uint64. Returns a sorted unique array; empty docs → empty array."""
+    uint64 via a rolling polynomial over cached 64-bit token hashes.
+    Returns a sorted unique array; empty docs → empty array."""
     toks = text.split(" ")
     if not toks or toks == [""]:
         return np.empty(0, np.uint64)
-    if len(toks) < k:
-        shingles = {" ".join(toks)}
-    else:
-        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in shingles
-        ),
-        np.uint64,
-        len(shingles),
-    )
-    out.sort()
-    return out
+    cache = cache or TokenHashCache()
+    h = cache.hash_tokens(toks)
+    n = len(h)
+    if n < k:
+        k = n
+    n_win = n - k + 1
+    # shingle hash = Σ_j h[i+j] · BASE^(k-1-j)  (mod 2^64), vectorized
+    acc = np.zeros(n_win, np.uint64)
+    p = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        acc += h[j : j + n_win] * p
+        p = p * _SHINGLE_BASE
+    return np.unique(acc)
 
 
 # --- language ID (character n-gram heuristic, no external models) -----------

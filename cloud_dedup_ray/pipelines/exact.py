@@ -29,10 +29,13 @@ from dataclasses import dataclass, field
 from itertools import combinations
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from cloud_dedup_ray.stages import coarse
 
 from cloud_dedup_ray.config import DedupConfig
 from cloud_dedup_ray.functions.classify import (
@@ -74,34 +77,40 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=GROUP_SCHEMA)
 
 
-def _first_per_repo(table: pa.Table) -> dict[str, Rec]:
-    """Deterministic representative per repo: min by path (replaces the
-    reference's walk-order ``hits[0]``)."""
-    best: dict[str, Rec] = {}
-    cols = {
-        k: table[k].to_pylist()
-        for k in (
-            "repo path name name_orig folder size mtime "
-            "is_symlink symlink_target content_sha256"
-        ).split()
-    }
-    for i in range(table.num_rows):
-        r = Rec(
-            repo=cols["repo"][i],
-            path=cols["path"][i],
-            name=cols["name"][i],
-            name_orig=cols["name_orig"][i],
-            folder=cols["folder"][i],
-            size=cols["size"][i],
-            mtime=cols["mtime"][i],
-            is_symlink=cols["is_symlink"][i],
-            symlink_target=cols["symlink_target"][i],
-            content_hash=cols["content_sha256"][i],
+REC_COLS = (
+    "repo path name name_orig folder size mtime "
+    "is_symlink symlink_target content_sha256"
+).split()
+
+
+def _df_first_per_repo(g) -> dict[str, Rec]:
+    """Deterministic representative per repo from a pandas sub-frame:
+    min by path (replaces the reference's walk-order ``hits[0]``)."""
+    g = g.sort_values("path").drop_duplicates("repo", keep="first")
+    out: dict[str, Rec] = {}
+    for row in g.itertuples(index=False):
+        out[row.repo] = Rec(
+            repo=row.repo,
+            path=row.path,
+            name=row.name,
+            name_orig=row.name_orig,
+            folder=row.folder,
+            size=int(row.size),
+            mtime=float(row.mtime),
+            is_symlink=bool(row.is_symlink),
+            symlink_target=(
+                None if row.symlink_target is None or
+                (isinstance(row.symlink_target, float))
+                else row.symlink_target
+            ),
+            content_hash=(
+                None
+                if row.content_sha256 is None
+                or (isinstance(row.content_sha256, float))
+                else row.content_sha256
+            ),
         )
-        cur = best.get(r.repo)
-        if cur is None or r.path < cur.path:
-            best[r.repo] = r
-    return best
+    return out
 
 
 def _group_row(
@@ -132,61 +141,70 @@ def _group_row(
     }
 
 
+def _classify_group(ordered: dict[str, Rec], cfg: DedupConfig) -> dict | None:
+    """Reference match loop for ONE (name,size) group (:315-433),
+    including the first-symlink-pair short-circuit. ``ordered`` maps
+    sorted labels → representative Rec."""
+    labels = list(ordered)
+    group_content, group_version = "identical", "same"
+    for la, lb in combinations(labels, 2):
+        res = classify_pair(ordered[la], ordered[lb], cfg.mtime_fuzz, cfg.use_checksum)
+        if res is None:
+            return None
+        cm, vs = res
+        if cm == "symlink":
+            return _group_row(ordered, "symlink", "symlink", vs, None, None)
+        if cm == "mixed_type":
+            # dead in the main loop (symlink size=-1 never equals a
+            # regular size) — kept defensively like the reference
+            return _group_row(ordered, "conflict", "mixed_type", vs, None, None)
+        if CONTENT_RANK[cm] > CONTENT_RANK[group_content]:
+            group_content = cm
+        if VERSION_RANK[vs] > VERSION_RANK[group_version]:
+            group_version = vs
+    newest_in = (
+        max(labels, key=lambda l: ordered[l].mtime)
+        if group_version in ("diverged", "phantom")
+        else None
+    )
+    mtimes = [r.mtime for r in ordered.values()]
+    age = round((max(mtimes) - min(mtimes)) / 86400.0, 2)
+    route = "conflict" if group_content == "different" else "duplicate"
+    return _group_row(ordered, route, group_content, group_version, newest_in, age)
+
+
 class GroupClassifier:
-    """``map_groups`` body for the (name, size) blocking groups —
-    replicates the reference match loop (:315-433) including its
-    first-symlink-pair short-circuit."""
+    """``map_groups`` body over one COARSE partition of the corpus
+    (``__part = hash(name,size) % P``, stages/coarse.py). All (name,
+    size) blocking groups of the partition are handled in one call:
+    singleton keys (the vast majority) are dropped by a vectorized
+    pandas ``duplicated`` prefilter; only multi-row keys reach Python."""
 
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
         self.__name__ = "GroupClassifier"  # map_groups wraps plain functions
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        present = _first_per_repo(table)
-        if len(present) < 2:
-            return GROUP_SCHEMA.empty_table()
-        labels = sorted(present)
-        ordered = {l: present[l] for l in labels}
-        group_content, group_version = "identical", "same"
-        for la, lb in combinations(labels, 2):
-            res = classify_pair(
-                ordered[la], ordered[lb], self.cfg.mtime_fuzz, self.cfg.use_checksum
-            )
-            if res is None:
-                return GROUP_SCHEMA.empty_table()
-            cm, vs = res
-            if cm == "symlink":
-                return _rows_to_table(
-                    [_group_row(ordered, "symlink", "symlink", vs, None, None)]
-                )
-            if cm == "mixed_type":
-                # dead in the main loop (symlink size=-1 never equals a
-                # regular size) — kept defensively like the reference
-                return _rows_to_table(
-                    [_group_row(ordered, "conflict", "mixed_type", vs, None, None)]
-                )
-            if CONTENT_RANK[cm] > CONTENT_RANK[group_content]:
-                group_content = cm
-            if VERSION_RANK[vs] > VERSION_RANK[group_version]:
-                group_version = vs
-        newest_in = (
-            max(labels, key=lambda l: ordered[l].mtime)
-            if group_version in ("diverged", "phantom")
-            else None
-        )
-        mtimes = [r.mtime for r in ordered.values()]
-        age = round((max(mtimes) - min(mtimes)) / 86400.0, 2)
-        route = "conflict" if group_content == "different" else "duplicate"
-        return _rows_to_table(
-            [_group_row(ordered, route, group_content, group_version, newest_in, age)]
-        )
+        df = table.select(REC_COLS).to_pandas()
+        sub = df[df.duplicated(["name", "size"], keep=False)]
+        rows: list[dict] = []
+        for _, g in sub.groupby(["name", "size"], sort=False):
+            if g["repo"].nunique() < 2:
+                continue
+            present = _df_first_per_repo(g)
+            ordered = {l: present[l] for l in sorted(present)}
+            row = _classify_group(ordered, self.cfg)
+            if row is not None:
+                rows.append(row)
+        return _rows_to_table(rows)
 
 
 class MixedTypeClassifier:
     """``map_groups`` body for the rel_path-keyed second pass
-    (:435-482): groups holding both a symlink and a regular file across
-    ≥2 repos become mixed_type conflicts, unless the rel_path was
-    already emitted by the main pass."""
+    (:435-482) over one coarse partition (``__part =
+    crc32(path_lower) % P``): path keys holding both a symlink and a
+    regular file across ≥2 repos become mixed_type conflicts, unless the
+    rel_path was already emitted by the main pass."""
 
     def __init__(self, cfg: DedupConfig, handled_ref: "ray.ObjectRef | None"):
         self.cfg = cfg
@@ -199,20 +217,22 @@ class MixedTypeClassifier:
             self._handled = (
                 ray.get(self.handled_ref) if self.handled_ref is not None else set()
             )
-        rp_lower = table["path_lower"][0].as_py()
-        if rp_lower in self._handled:
-            return GROUP_SCHEMA.empty_table()
-        present = _first_per_repo(table)
-        if len(present) < 2:
-            return GROUP_SCHEMA.empty_table()
-        kinds = {r.is_symlink for r in present.values()}
-        if kinds != {True, False}:
-            return GROUP_SCHEMA.empty_table()
-        labels = sorted(present)
-        ordered = {l: present[l] for l in labels}
-        return _rows_to_table(
-            [_group_row(ordered, "conflict", "mixed_type", "conflict", None, None)]
-        )
+        df = table.select(REC_COLS + ["path_lower"]).to_pandas()
+        df = df[~df["path_lower"].isin(self._handled)]
+        sub = df[df.duplicated("path_lower", keep=False)]
+        rows: list[dict] = []
+        for _, g in sub.groupby("path_lower", sort=False):
+            if g["repo"].nunique() < 2 or g["is_symlink"].nunique() != 2:
+                continue
+            present = _df_first_per_repo(g)
+            kinds = {r.is_symlink for r in present.values()}
+            if kinds != {True, False}:
+                continue
+            ordered = {l: present[l] for l in sorted(present)}
+            rows.append(
+                _group_row(ordered, "conflict", "mixed_type", "conflict", None, None)
+            )
+        return _rows_to_table(rows)
 
 
 @dataclass
@@ -299,9 +319,17 @@ def analyze_corpus(
 
     labels = sorted(projected.unique("repo"))
     n_labels = len(labels)
+    num_parts = 32
+
+    def _part_name_size(t: pa.Table) -> pa.Table:
+        part = coarse.str_int_partition(
+            t["name"].to_pylist(), np.asarray(t["size"], np.int64), num_parts
+        )
+        return t.append_column("__part", pa.array(part))
 
     groups = (
-        projected.groupby(["name", "size"])
+        projected.map_batches(_part_name_size, batch_format="pyarrow")
+        .groupby("__part")
         .map_groups(GroupClassifier(cfg), batch_format="pyarrow")
         .materialize()  # one row per matched key — small vs corpus
     )
@@ -315,8 +343,14 @@ def analyze_corpus(
     }
     handled_ref = ray.put(handled)
 
-    mixed = projected.groupby("path_lower").map_groups(
-        MixedTypeClassifier(cfg, handled_ref), batch_format="pyarrow"
+    def _part_path(t: pa.Table) -> pa.Table:
+        part = coarse.str_partition(t["path_lower"].to_pylist(), num_parts)
+        return t.append_column("__part", pa.array(part))
+
+    mixed = (
+        projected.map_batches(_part_path, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(MixedTypeClassifier(cfg, handled_ref), batch_format="pyarrow")
     )
 
     duplicate_groups = groups.filter(expr="route == 'duplicate'").materialize()
@@ -381,18 +415,35 @@ def analyze_corpus(
 
     # ---- folder analytics (F1-F6): distributed name-set aggregation,
     # driver-side rollups over the (small) folder table ----
+    def _part_repo_folder(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{r}\0{f}"
+            for r, f in zip(t["repo"].to_pylist(), t["folder"].to_pylist())
+        ]
+        return t.append_column(
+            "__part", pa.array(coarse.str_partition(keys, num_parts))
+        )
+
     def _folder_names(table: pa.Table) -> pa.Table:
+        df = table.select(["repo", "folder", "name"]).to_pandas()
+        g = (
+            df.groupby(["repo", "folder"], sort=False)["name"]
+            .agg(lambda s: sorted(set(s)))
+            .reset_index()
+        )
         return pa.table(
             {
-                "repo": [table["repo"][0].as_py()],
-                "folder": [table["folder"][0].as_py()],
-                "names": [sorted(set(table["name"].to_pylist()))],
+                "repo": pa.array(g["repo"], pa.string()),
+                "folder": pa.array(g["folder"], pa.string()),
+                "names": pa.array(list(g["name"]), pa.list_(pa.string())),
             }
         )
 
+    _folder_names.__name__ = "folder_names"
     folder_sets: dict[str, dict[str, set[str]]] = {l: {} for l in labels}
     for r in (
-        projected.groupby(["repo", "folder"])
+        projected.map_batches(_part_repo_folder, batch_format="pyarrow")
+        .groupby("__part")
         .map_groups(_folder_names, batch_format="pyarrow")
         .take_all()
     ):

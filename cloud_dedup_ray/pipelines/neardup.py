@@ -32,6 +32,7 @@ from cloud_dedup_ray.functions.suffixarray import SuffixArray
 from cloud_dedup_ray.functions.text import normalize
 from cloud_dedup_ray.stages.minhash_stage import (
     MinHashSigner,
+    add_bucket_partition,
     emit_bucket_pairs,
     explode_bands,
 )
@@ -48,43 +49,53 @@ class NearDupResult:
     metrics: dict = field(default_factory=dict)
 
 
-def _dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct (a, b) pairs via a grouped head-1 (bands emit repeats)."""
-
-    def _first(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
-
-    _first.__name__ = "dedup_edge"
-    return edges.groupby(["a", "b"]).map_groups(_first, batch_format="pyarrow")
+def _collect_edges_and_sizes(
+    pair_rows: ray.data.Dataset,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stream the pair/metrics rows to the driver: → (a, b, bucket_sizes)
+    with duplicate edges removed (different bands produce repeats)."""
+    a_parts, b_parts, size_parts = [], [], []
+    for t in pair_rows.iter_batches(batch_format="pyarrow"):
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        sz = np.asarray(t["bucket_size"], np.int64)
+        marker = a == -1
+        a_parts.append(a[~marker])
+        b_parts.append(b[~marker])
+        size_parts.append(sz[marker])
+    if not a_parts:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.int64),)
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    sizes = np.concatenate(size_parts)
+    if a.size:
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = pairs[:, 0], pairs[:, 1]
+    return a, b, sizes
 
 
 def _verify_edges(
-    edges: ray.data.Dataset,
+    a: np.ndarray,
+    b: np.ndarray,
     signed: ray.data.Dataset,
     cfg: DedupConfig,
 ) -> tuple[list[tuple[int, int]], dict]:
     """Signature-estimated Jaccard filter over candidate edges.
 
     The signatures of candidate docs are semi-joined out of ``signed``
-    (broadcast id-set filter) and shipped once via ``ray.put``; each
-    verify task looks them up per batch. Scale path: partitioned hash
-    join of edges × signatures on doc_id (same code shape, no broadcast).
+    (broadcast id-array ``np.isin`` filter) and shipped once via
+    ``ray.put``. Scale path: partitioned hash join of edges ×
+    signatures on doc_id (same code shape, no broadcast).
     """
-    edge_tbl = pa.concat_tables(
-        [b.select(["a", "b"]) for b in edges.iter_batches(batch_format="pyarrow")]
-        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})]
-    )
-    a = np.asarray(edge_tbl["a"], np.int64)
-    b = np.asarray(edge_tbl["b"], np.int64)
     if len(a) == 0:
         return [], {"n_candidates": 0, "n_verified": 0}
     cand_ids = np.unique(np.concatenate([a, b]))
-    cand_ref = ray.put(set(cand_ids.tolist()))
+    cand_ref = ray.put(cand_ids)
 
     def _sig_filter(t: pa.Table) -> pa.Table:
         wanted = ray.get(cand_ref)
-        mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()])
-        return t.filter(mask).select(["doc_id", "sig"])
+        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
+        return t.filter(pa.array(mask)).select(["doc_id", "sig"])
 
     sig_map: dict[int, np.ndarray] = {}
     for bt in signed.map_batches(_sig_filter, batch_format="pyarrow").iter_batches(
@@ -105,7 +116,10 @@ def _verify_edges(
 
 
 def containment_edges(
-    corpus: ray.data.Dataset, signed: ray.data.Dataset, cfg: DedupConfig
+    corpus: ray.data.Dataset,
+    signed: ray.data.Dataset,
+    cfg: DedupConfig,
+    precomp: dict[int, int] | None = None,
 ) -> list[tuple[int, int]]:
     """Suffix-array containment pass: block docs on shared bottom-k
     shingle anchors, then verify exact substring containment per group
@@ -114,6 +128,13 @@ def containment_edges(
     Recall: if A ⊆ B, every shingle of A is in B, so an anchor of B
     falls in A with probability ≈ k·|A|/|B| — high for substantial
     containment, and the exact tier already catches |A| == |B|.
+
+    ``precomp`` (doc → cluster from the LSH tier) prunes the pass:
+    members already in one cluster are collapsed to a single
+    representative, and groups that collapse to <2 representatives are
+    skipped before any text is fetched — this removes boilerplate
+    clusters (all mutually near-identical) from the suffix-array work
+    entirely.
     """
     norm = corpus.map_batches(
         lambda t: pa.table(
@@ -144,22 +165,47 @@ def containment_edges(
         batch_format="pyarrow",
     )
 
-    # candidate groups: docs sharing an anchor (drop singleton anchors)
+    # candidate groups: docs sharing an anchor (drop singleton anchors).
+    # Coarse-partitioned: anchors are near-unique, so a per-anchor
+    # map_groups would dominate on group overhead (stages/coarse.py).
+    from cloud_dedup_ray.stages import coarse
+
+    def _add_part(t: pa.Table) -> pa.Table:
+        part = coarse.int_partition(np.asarray(t["anchor"], np.int64), 64)
+        return t.append_column("__part", pa.array(part))
+
     def _group_ids(t: pa.Table) -> pa.Table:
-        ids = sorted(set(t["doc_id"].to_pylist()))
-        if len(ids) < 2 or len(ids) > cfg.bucket_pair_cap:
-            ids = []
-        return pa.table({"ids": pa.array([ids], pa.list_(pa.int64()))}) if ids else \
-            pa.table({"ids": pa.array([], pa.list_(pa.int64()))})
+        anc = np.asarray(t["anchor"], np.int64)
+        ids = np.asarray(t["doc_id"], np.int64)
+        order = np.lexsort((ids, anc))
+        out: list[list[int]] = []
+        for sl in coarse.group_slices(order, anc[order]):
+            members = np.unique(ids[order[sl]])
+            if 2 <= len(members) <= cfg.bucket_pair_cap:
+                out.append(members.tolist())
+        return pa.table({"ids": pa.array(out, pa.list_(pa.int64()))})
 
     _group_ids.__name__ = "anchor_group"
     groups = [
         tuple(r["ids"])
-        for r in anchors.groupby("anchor").map_groups(
-            _group_ids, batch_format="pyarrow"
-        ).take_all()
+        for r in anchors.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_group_ids, batch_format="pyarrow")
+        .take_all()
     ]
     groups = sorted(set(groups))
+    if precomp:
+        pruned = []
+        for g in groups:
+            # one representative per existing cluster (longest not known
+            # yet — keep min doc id; containment within a cluster is moot)
+            reps: dict[int, int] = {}
+            for d in g:
+                c = precomp.get(d, d)
+                reps.setdefault(c, d)
+            if len(reps) >= 2:
+                pruned.append(tuple(sorted(reps.values())))
+        groups = sorted(set(pruned))
     if not groups:
         return []
 
@@ -217,36 +263,61 @@ def cluster_corpus(
     be filtered out by the caller or carry empty content)."""
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
+    ckpt = None
+    resumed: list[str] = []
+    if cfg.checkpoint_dir:
+        from cloud_dedup_ray.state.checkpoint import StageCheckpoint
 
-    signed = corpus.map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.signer_concurrency,
-        num_cpus=1,
-    ).materialize()
+        ckpt = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
+
+    def _build_signed() -> ray.data.Dataset:
+        return corpus.map_batches(
+            MinHashSigner,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.signer_concurrency,
+            num_cpus=1,
+        )
+
+    if ckpt:
+        signed, was = ckpt.run("signatures", _build_signed)
+        signed = signed.materialize()
+        if was:
+            resumed.append("signatures")
+    else:
+        signed = _build_signed().materialize()
     t_sign = time.perf_counter()
 
-    band_rows = signed.map_batches(explode_bands, batch_format="pyarrow")
-    bucket_sizes = (
-        band_rows.groupby(["band_id", "band_hash"]).count().materialize()
-    )
-    edges_raw = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        emit_bucket_pairs(cfg.bucket_pair_cap), batch_format="pyarrow"
-    )
-    edges = _dedup_edges(edges_raw)
-    verified, vmetrics = _verify_edges(edges, signed, cfg)
-    t_lsh = time.perf_counter()
+    num_parts = 64
 
-    cont_edges: list[tuple[int, int]] = []
-    if with_containment:
-        cont_edges = containment_edges(corpus, signed, cfg)
-    t_cont = time.perf_counter()
+    def _build_pairs() -> ray.data.Dataset:
+        band_rows = signed.map_batches(
+            explode_bands, batch_format="pyarrow"
+        ).map_batches(add_bucket_partition(num_parts), batch_format="pyarrow")
+        return band_rows.groupby("__part").map_groups(
+            emit_bucket_pairs(cfg.bucket_pair_cap), batch_format="pyarrow"
+        )
+
+    if ckpt:
+        pair_rows, was = ckpt.run("lsh_buckets", _build_pairs)
+        if was:
+            resumed.append("lsh_buckets")
+    else:
+        pair_rows = _build_pairs()
+    edge_a, edge_b, sizes = _collect_edges_and_sizes(pair_rows)
+    verified, vmetrics = _verify_edges(edge_a, edge_b, signed, cfg)
+    t_lsh = time.perf_counter()
 
     uf = UnionFind()
     uf.add_edges(verified)
-    uf.add_edges(cont_edges)
+
+    cont_edges: list[tuple[int, int]] = []
+    if with_containment:
+        cont_edges = containment_edges(corpus, signed, cfg, uf.components())
+        uf.add_edges(cont_edges)
+    t_cont = time.perf_counter()
+
     comp = uf.components()
     comp_ref = ray.put(comp)
 
@@ -263,11 +334,11 @@ def cluster_corpus(
     assignments = corpus.map_batches(_assign, batch_format="pyarrow")
 
     # skew metrics: bucket-size histogram + top-k heaviest buckets
-    sizes = np.array([r["count()"] for r in bucket_sizes.take_all()], np.int64)
     top = np.sort(sizes)[::-1][:10].tolist() if sizes.size else []
     n_clusters = len(set(comp.values()))
     metrics = {
         **vmetrics,
+        "resumed_stages": resumed,
         "n_containment_edges": len(cont_edges),
         "n_docs_clustered": len(comp),
         "n_clusters": n_clusters,

@@ -16,7 +16,12 @@ import pyarrow as pa
 
 from cloud_dedup_ray.config import DedupConfig
 from cloud_dedup_ray.functions.minhash import MinHasher, band_hashes
-from cloud_dedup_ray.functions.text import normalize, token_shingles_hashed
+from cloud_dedup_ray.stages import coarse
+from cloud_dedup_ray.functions.text import (
+    TokenHashCache,
+    normalize,
+    token_shingles_hashed,
+)
 
 
 class MinHashSigner:
@@ -31,24 +36,26 @@ class MinHashSigner:
     def __init__(self, cfg: DedupConfig | None = None):
         self.cfg = cfg or DedupConfig()
         self.hasher = MinHasher(self.cfg.num_perm, self.cfg.seed)
+        self.token_cache = TokenHashCache()  # amortized across batches
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         texts = normalize(batch["content"]).to_pylist()
         n = len(texts)
-        sigs = np.empty((n, cfg.num_perm), np.uint64)
+        shingle_sets: list[np.ndarray] = []
         n_shingles = np.empty(n, np.int64)
         anchors: list[list[int]] = []
         for i, t in enumerate(texts):
             if t is None or len(t) < cfg.min_doc_chars:
                 shingles = np.empty(0, np.uint64)
             else:
-                shingles = token_shingles_hashed(t, cfg.shingle_k)
+                shingles = token_shingles_hashed(t, cfg.shingle_k, self.token_cache)
+            shingle_sets.append(shingles)
             n_shingles[i] = shingles.size
-            sigs[i] = self.hasher.signature(shingles)
             anchors.append(
                 shingles[: cfg.containment_anchors].astype(np.int64).tolist()
             )
+        sigs = self.hasher.signatures(shingle_sets)
         bands = band_hashes(sigs, cfg.num_bands)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64)), cfg.num_perm
@@ -86,9 +93,32 @@ def explode_bands(batch: pa.Table) -> pa.Table:
     )
 
 
+def add_bucket_partition(num_partitions: int):
+    """Vectorized ``__part = splitmix64(band_hash ^ f(band_id)) % P``
+    column so the LSH shuffle moves P fat partitions instead of one
+    Ray group per (band_id, band_hash) bucket (see stages/coarse.py)."""
+
+    def _add(t: pa.Table) -> pa.Table:
+        bh = np.asarray(t["band_hash"], np.int64).view(np.uint64)
+        bid = np.asarray(t["band_id"]).astype(np.uint64) * np.uint64(
+            0xD6E8FEB86659FD93
+        )
+        part = (coarse.splitmix64(bh ^ bid) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return t.append_column("__part", pa.array(part))
+
+    return _add
+
+
 def emit_bucket_pairs(cap: int):
-    """map_groups body over (band_id, band_hash) buckets → candidate
-    edges (a, b), a < b.
+    """map_groups body over ONE coarse partition holding many
+    (band_id, band_hash) buckets → candidate edges (a, b), a < b, plus
+    one metrics row per bucket (a = b = -1, bucket_size = n) so skew
+    statistics come out of the same shuffle.
+
+    All buckets of the partition are delineated with one np.lexsort;
+    Python touches only non-singleton buckets (rare).
 
     Skew guard (SURVEY.md §7.5): a bucket of b docs normally emits all
     C(b,2) pairs; buckets larger than ``cap`` (boilerplate license
@@ -100,20 +130,45 @@ def emit_bucket_pairs(cap: int):
     """
 
     def _pairs(table: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(table["doc_id"]))
-        b = len(ids)
-        if b < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        if b <= cap:
-            ai, bi = np.triu_indices(b, k=1)
-            return pa.table({"a": ids[ai], "b": ids[bi]})
-        rep = ids[0]
-        chain_a, chain_b = ids[:-1], ids[1:]
-        star_b = ids[1:]
-        a = np.concatenate([chain_a, np.full(len(star_b), rep)])
-        bb = np.concatenate([chain_b, star_b])
-        keep = a != bb
-        return pa.table({"a": a[keep], "b": bb[keep]})
+        bid = np.asarray(table["band_id"], np.int64)
+        bh = np.asarray(table["band_hash"], np.int64)
+        ids = np.asarray(table["doc_id"], np.int64)
+        order = np.lexsort((ids, bh, bid))
+        keys = np.stack([bid[order], bh[order]], axis=1)
+        a_out, b_out = [], []
+        sizes = []
+        for sl in coarse.group_slices(order, keys):
+            members = np.unique(ids[order[sl]])
+            b = len(members)
+            sizes.append(b)
+            if b < 2:
+                continue
+            if b <= cap:
+                ai, bi = np.triu_indices(b, k=1)
+                a, bb = members[ai], members[bi]
+            else:
+                rep = members[0]
+                a = np.concatenate([members[:-1], np.full(b - 1, rep)])
+                bb = np.concatenate([members[1:], members[1:]])
+                keep = a != bb
+                a, bb = a[keep], bb[keep]
+            a_out.append(a)
+            b_out.append(bb)
+        n_pairs = sum(len(x) for x in a_out)
+        size_arr = np.asarray(sizes, np.int64)
+        return pa.table(
+            {
+                "a": np.concatenate(
+                    a_out + [np.full(len(size_arr), -1, np.int64)]
+                ),
+                "b": np.concatenate(
+                    b_out + [np.full(len(size_arr), -1, np.int64)]
+                ),
+                "bucket_size": np.concatenate(
+                    [np.zeros(n_pairs, np.int64), size_arr]
+                ),
+            }
+        )
 
     _pairs.__name__ = "emit_bucket_pairs"
     return _pairs

@@ -1,0 +1,84 @@
+"""Checkpoint/lineage + resume semantics."""
+
+import json
+import os
+
+import pytest
+import ray.data
+
+from cloud_dedup_ray.config import DedupConfig
+from cloud_dedup_ray.pipelines import neardup
+from cloud_dedup_ray.pipelines.neardup import cluster_corpus
+from cloud_dedup_ray.stages.project import project_corpus
+
+
+@pytest.fixture()
+def corpus(small_corpus):
+    return (
+        project_corpus(ray.data.from_arrow(small_corpus), drop_content=False)
+        .filter(expr="is_symlink == False")
+        .materialize()
+    )
+
+
+def _assign(res):
+    return {r["doc_id"]: r["cluster_id"] for r in res.assignments.take_all()}
+
+
+def test_checkpoint_resume_identical_and_skips_recompute(corpus, tmp_path, monkeypatch):
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    r1 = cluster_corpus(corpus, cfg, with_containment=False)
+    a1 = _assign(r1)
+    assert r1.metrics["resumed_stages"] == []
+    # lineage markers exist
+    for stage in ("signatures", "lsh_buckets"):
+        with open(tmp_path / "ck" / stage / "_lineage.json") as f:
+            meta = json.load(f)
+        assert meta["fingerprint"] == cfg.fingerprint()
+
+    # resume: signer must never be constructed again — poison the class
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("signer recomputed despite checkpoint")
+
+    monkeypatch.setattr(neardup, "MinHashSigner", Boom)
+    r2 = cluster_corpus(corpus, cfg, with_containment=False)
+    assert set(r2.metrics["resumed_stages"]) == {"signatures", "lsh_buckets"}
+    assert _assign(r2) == a1
+
+
+def test_checkpoint_invalidated_by_config_change(corpus, tmp_path):
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    cluster_corpus(corpus, cfg, with_containment=False)
+    cfg2 = DedupConfig(checkpoint_dir=str(tmp_path / "ck"), num_bands=32)
+    r2 = cluster_corpus(corpus, cfg2, with_containment=False)
+    assert r2.metrics["resumed_stages"] == []  # fingerprint mismatch → rebuild
+
+
+def test_partial_checkpoint_resumes_later_stages_only(corpus, tmp_path, monkeypatch):
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    r1 = cluster_corpus(corpus, cfg, with_containment=False)
+    a1 = _assign(r1)
+    # simulate a kill after the signatures stage: drop the bucket stage
+    import shutil
+
+    shutil.rmtree(tmp_path / "ck" / "lsh_buckets")
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("signer recomputed despite checkpoint")
+
+    monkeypatch.setattr(neardup, "MinHashSigner", Boom)
+    r2 = cluster_corpus(corpus, cfg, with_containment=False)
+    assert r2.metrics["resumed_stages"] == ["signatures"]
+    assert _assign(r2) == a1
+
+
+def test_atomic_write_tmpdir_never_valid(corpus, tmp_path):
+    """A half-written data.tmp (kill mid-write) must not validate."""
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    from cloud_dedup_ray.state.checkpoint import StageCheckpoint
+
+    ck = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
+    os.makedirs(tmp_path / "ck" / "signatures" / "data.tmp", exist_ok=True)
+    assert not ck.complete("signatures")
