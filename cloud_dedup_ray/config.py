@@ -33,10 +33,21 @@ class DedupConfig:
     shingle_k: int = 5
     #: number of MinHash permutations
     num_perm: int = 128
-    #: LSH bands (num_perm % bands == 0); rows per band = num_perm // bands
-    num_bands: int = 16
+    #: 'oph' = one-permutation MinHash + rotation densification (O(n)
+    #: per doc — the at-scale default); 'classic' = num_perm independent
+    #: permutations (reference-style construction, ~num_perm× slower)
+    minhash_scheme: str = "oph"
+    #: LSH bands (num_perm % bands == 0); rows per band = num_perm // bands.
+    #: 32 bands × 4 rows ⇒ per-pair banding collision ≥ 0.9998 at J = 0.7
+    #: (1 − (1 − J^r)^b) — the hybrid exact-verify tier then makes the
+    #: threshold decision exact.
+    num_bands: int = 32
     #: signature-estimated Jaccard threshold for accepting a candidate pair
     jaccard_threshold: float = 0.7
+    #: half-width of the estimator uncertainty band around the threshold:
+    #: candidates with |estimate − threshold| < margin are re-verified
+    #: with EXACT shingle Jaccard (≈3σ of the 128-entry estimator noise)
+    verify_margin: float = 0.11
     #: RNG seed for the permutation parameters
     seed: int = 42
     #: LSH buckets larger than this emit a chain+star pair set instead of
@@ -73,6 +84,7 @@ class DedupConfig:
             "parity": self.parity,
             "shingle_k": self.shingle_k,
             "num_perm": self.num_perm,
+            "minhash_scheme": self.minhash_scheme,
             "num_bands": self.num_bands,
             "jaccard_threshold": self.jaccard_threshold,
             "seed": self.seed,

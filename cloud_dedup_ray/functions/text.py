@@ -89,10 +89,10 @@ def token_shingles_hashed(
     n_win = n - k + 1
     # shingle hash = Σ_j h[i+j] · BASE^(k-1-j)  (mod 2^64), vectorized
     acc = np.zeros(n_win, np.uint64)
-    p = np.uint64(1)
+    p = 1
     for j in range(k - 1, -1, -1):
-        acc += h[j : j + n_win] * p
-        p = p * _SHINGLE_BASE
+        acc += h[j : j + n_win] * np.uint64(p)
+        p = (p * int(_SHINGLE_BASE)) & 0xFFFFFFFFFFFFFFFF
     return np.unique(acc)
 
 

@@ -262,6 +262,8 @@ class ExactResult:
 
         def groups(df):
             out = []
+            if df.empty:
+                return out
             for _, g in df.sort_values("rel_path").iterrows():
                 out.append(
                     {
@@ -296,7 +298,9 @@ class ExactResult:
                     "services": list(s["services"]),
                     "symlink_targets": dict(zip(s["member_repos"], s["member_targets"])),
                 }
-                for _, s in sym.sort_values("rel_path").iterrows()
+                for _, s in (
+                    sym.sort_values("rel_path") if not sym.empty else sym
+                ).iterrows()
             ],
             "unique_counts": self.unique_counts,
             "pairwise_counts": self.pairwise_counts,

@@ -78,17 +78,26 @@ def _verify_edges(
     a: np.ndarray,
     b: np.ndarray,
     signed: ray.data.Dataset,
+    corpus: ray.data.Dataset,
     cfg: DedupConfig,
 ) -> tuple[list[tuple[int, int]], dict]:
-    """Signature-estimated Jaccard filter over candidate edges.
+    """Hybrid candidate verification.
 
-    The signatures of candidate docs are semi-joined out of ``signed``
-    (broadcast id-array ``np.isin`` filter) and shipped once via
-    ``ray.put``. Scale path: partitioned hash join of edges ×
-    signatures on doc_id (same code shape, no broadcast).
+    Tier 1 (free): signature-estimated Jaccard. Estimates clearly above
+    threshold (≥ thr + margin) are accepted, clearly below
+    (< thr − margin) rejected. Tier 2: the uncertain band — where the
+    ±1σ·z estimator noise could flip the decision — is re-checked with
+    EXACT shingle Jaccard over the normalized content (distributed
+    chunked tasks). This makes the threshold decision exact while
+    keeping the expensive path proportional to borderline pairs only.
+
+    Signatures of candidate docs are semi-joined out of ``signed``
+    (broadcast id-array ``np.isin`` filter). Scale path: partitioned
+    hash join of edges × signatures on doc_id (same code shape, no
+    broadcast).
     """
     if len(a) == 0:
-        return [], {"n_candidates": 0, "n_verified": 0}
+        return [], {"n_candidates": 0, "n_verified": 0, "n_exact_checked": 0}
     cand_ids = np.unique(np.concatenate([a, b]))
     cand_ref = ray.put(cand_ids)
 
@@ -110,9 +119,81 @@ def _verify_edges(
     sa = np.stack([sig_map[int(x)] for x in a])
     sb = np.stack([sig_map[int(x)] for x in b])
     est = (sa == sb).mean(axis=1)
-    keep = est >= cfg.jaccard_threshold
-    verified = list(zip(a[keep].tolist(), b[keep].tolist()))
-    return verified, {"n_candidates": len(a), "n_verified": len(verified)}
+    margin = cfg.verify_margin
+    accept = est >= cfg.jaccard_threshold + margin
+    uncertain = (~accept) & (est >= cfg.jaccard_threshold - margin)
+    verified = list(zip(a[accept].tolist(), b[accept].tolist()))
+    n_exact = int(uncertain.sum())
+    if n_exact:
+        exact_ok = _exact_jaccard_edges(
+            corpus, list(zip(a[uncertain].tolist(), b[uncertain].tolist())), cfg
+        )
+        verified.extend(exact_ok)
+    return verified, {
+        "n_candidates": len(a),
+        "n_verified": len(verified),
+        "n_exact_checked": n_exact,
+    }
+
+
+def _exact_jaccard_edges(
+    corpus: ray.data.Dataset,
+    pairs: list[tuple[int, int]],
+    cfg: DedupConfig,
+) -> list[tuple[int, int]]:
+    """Exact shingle-Jaccard check for borderline pairs: fetch the
+    normalized content of involved docs (broadcast semi-join — the pair
+    population ≪ corpus), shingle each doc once, intersect per pair in
+    chunked Ray tasks."""
+    from cloud_dedup_ray.functions.minhash import exact_jaccard
+    from cloud_dedup_ray.functions.text import TokenHashCache, token_shingles_hashed
+
+    needed = sorted({d for p in pairs for d in p})
+    need_ref = ray.put(set(needed))
+
+    def _content_filter(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()])
+        return t.filter(mask).select(["doc_id", "content"])
+
+    texts: dict[int, str] = {}
+    for bt in corpus.map_batches(_content_filter, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        norm = normalize(bt["content"].combine_chunks())
+        for d, c in zip(bt["doc_id"].to_pylist(), norm.to_pylist()):
+            texts[d] = c or ""
+
+    shingle_k, thr, min_chars = cfg.shingle_k, cfg.jaccard_threshold, cfg.min_doc_chars
+
+    @ray.remote
+    def _check(chunk: list[tuple[int, int]], docs: dict[int, str]) -> list[tuple[int, int]]:
+        cache = TokenHashCache()
+        sh: dict[int, np.ndarray] = {}
+        out = []
+        for x, y in chunk:
+            for d in (x, y):
+                if d not in sh:
+                    t = docs.get(d, "")
+                    sh[d] = (
+                        token_shingles_hashed(t, shingle_k, cache)
+                        if len(t) >= min_chars
+                        else np.empty(0, np.uint64)
+                    )
+            if sh[x].size and sh[y].size and exact_jaccard(sh[x], sh[y]) >= thr:
+                out.append((x, y))
+        return out
+
+    docs_ref = ray.put(texts)
+    chunk_size = max(64, len(pairs) // 32)
+    futures = [
+        _check.remote(pairs[i : i + chunk_size], docs_ref)
+        for i in range(0, len(pairs), chunk_size)
+    ]
+    out: list[tuple[int, int]] = []
+    for res in ray.get(futures):
+        out.extend(res)
+    return out
 
 
 def containment_edges(
@@ -306,7 +387,7 @@ def cluster_corpus(
     else:
         pair_rows = _build_pairs()
     edge_a, edge_b, sizes = _collect_edges_and_sizes(pair_rows)
-    verified, vmetrics = _verify_edges(edge_a, edge_b, signed, cfg)
+    verified, vmetrics = _verify_edges(edge_a, edge_b, signed, corpus, cfg)
     t_lsh = time.perf_counter()
 
     uf = UnionFind()

@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from cloud_dedup_ray.config import DedupConfig
-from cloud_dedup_ray.functions.minhash import MinHasher, band_hashes
+from cloud_dedup_ray.functions.minhash import band_hashes, make_hasher
 from cloud_dedup_ray.stages import coarse
 from cloud_dedup_ray.functions.text import (
     TokenHashCache,
@@ -35,7 +35,9 @@ class MinHashSigner:
 
     def __init__(self, cfg: DedupConfig | None = None):
         self.cfg = cfg or DedupConfig()
-        self.hasher = MinHasher(self.cfg.num_perm, self.cfg.seed)
+        self.hasher = make_hasher(
+            self.cfg.minhash_scheme, self.cfg.num_perm, self.cfg.seed
+        )
         self.token_cache = TokenHashCache()  # amortized across batches
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -50,7 +50,7 @@ def test_checkpoint_resume_identical_and_skips_recompute(corpus, tmp_path, monke
 def test_checkpoint_invalidated_by_config_change(corpus, tmp_path):
     cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
     cluster_corpus(corpus, cfg, with_containment=False)
-    cfg2 = DedupConfig(checkpoint_dir=str(tmp_path / "ck"), num_bands=32)
+    cfg2 = DedupConfig(checkpoint_dir=str(tmp_path / "ck"), num_bands=16)
     r2 = cluster_corpus(corpus, cfg2, with_containment=False)
     assert r2.metrics["resumed_stages"] == []  # fingerprint mismatch → rebuild
 

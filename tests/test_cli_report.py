@@ -1,0 +1,121 @@
+"""CLI + report sinks: filesystem scan end-to-end through `main()`,
+HTML/JSON twin outputs, stdout summary — mirroring the reference's CLI
+smoke tests (/root/reference/tests/test_coverage_gaps.py:291-766)."""
+
+import json
+import os
+
+from cloud_dedup_ray.cli import main, parse_dir_arg
+from cloud_dedup_ray.report import (
+    fmt_ts,
+    human_size,
+    pair_stats,
+    render_html,
+    stdout_summary,
+)
+
+
+def make_file(root, rel, content=b"x", mtime=None):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(content)
+    if mtime is not None:
+        os.utime(p, (mtime, mtime))
+    return p
+
+
+def test_parse_dir_arg():
+    label, path = parse_dir_arg("Drive:/tmp")
+    assert label == "Drive" and str(path) == "/tmp"
+    label, path = parse_dir_arg("/tmp")
+    assert label == "tmp"
+
+
+def test_scalar_formatters():
+    assert human_size(5) == "5 B"
+    assert human_size(2048) == "2.0 KB"
+    assert human_size(1024**5 * 1.5).endswith("PB")
+    assert fmt_ts(0) == "—"
+    assert fmt_ts(1_700_000_000).endswith("UTC")
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    a, b = str(tmp_path / "A"), str(tmp_path / "B")
+    make_file(a, "docs/report.txt", b"same", mtime=1000)
+    make_file(b, "docs/report.txt", b"same", mtime=1000)
+    make_file(a, "src/app.py", b"v1", mtime=1000)
+    make_file(b, "src/app.py", b"v2", mtime=5000)  # conflict (diverged)
+    make_file(a, "only_a.txt", b"ua")
+    make_file(b, ".hidden", b"h")  # skipped by default
+
+    out = str(tmp_path / "rep.html")
+    rc = main([f"A:{a}", f"B:{b}", "-o", out, "--mtime-fuzz", "5"])
+    assert rc == 0
+
+    captured = capsys.readouterr().out
+    assert "Duplicate groups : 1" in captured
+    assert "require action" in captured
+
+    assert os.path.exists(out)
+    html = open(out).read()
+    assert "docs/report.txt" in html and "src/app.py" in html
+    result = json.load(open(str(tmp_path / "rep.json")))
+    assert result["total_files"] == {"A": 3, "B": 2}
+    assert len(result["duplicate_groups"]) == 1
+    assert len(result["conflict_groups"]) == 1
+    assert result["conflict_groups"][0]["content_match"] == "different"
+    assert result["unique_counts"]["A"] == 1
+    assert result["mtime_fuzz"] == 5
+
+
+def test_cli_corpus_mode_with_neardup(tmp_path, capsys):
+    from cloud_dedup_ray.datagen import write_corpus
+
+    corpus = write_corpus(str(tmp_path / "c"), seed=7, n_files=80, n_repos=2,
+                          n_shards=2)
+    out = str(tmp_path / "r.html")
+    rc = main(["--corpus", corpus, "-o", out, "--near-dup"])
+    assert rc == 0
+    result = json.load(open(str(tmp_path / "r.json")))
+    assert result["neardup"]["n_clusters"] >= 1
+    assert os.path.isdir(str(tmp_path / "r_clusters"))
+    assert "Near-dup clusters" in capsys.readouterr().out
+
+
+def test_render_sections_and_pair_stats():
+    result = {
+        "labels": ["A", "B"],
+        "total_files": {"A": 2, "B": 2},
+        "unique_counts": {"A": 0, "B": 0},
+        "duplicate_groups": [
+            {"rel_path": "x.txt", "name_orig": "x.txt", "size": 4,
+             "content_match": "identical", "version_status": "same",
+             "newest_in": None, "age_difference_days": 0.0,
+             "service_details": {"A": {}, "B": {}}},
+        ],
+        "conflict_groups": [
+            {"rel_path": "y.txt", "name_orig": "y.txt", "size": 4,
+             "content_match": "different", "version_status": "diverged",
+             "newest_in": "B", "age_difference_days": 1.5,
+             "service_details": {"A": {}, "B": {}}},
+        ],
+        "symlinks": [{"rel_path": "ln", "symlink_status": "target_diverged",
+                      "services": ["A", "B"]}],
+        "pairwise_counts": {"A↔B": 1},
+        "all_services_count": 1,
+        "relationship_counts": {"identical": 1},
+        "safe_to_delete_roots": [{"folder_path": "docs"}],
+        "unique_files": {},
+    }
+    ps = pair_stats(result)
+    assert ps["A↔B"][("identical", "same")] == 1
+    assert ps["A↔B"][("different", "diverged")] == 1  # conflicts included (A6)
+    html = render_html(result)
+    for frag in ("1 · File counts", "2 · Pairwise summary",
+                 "3 · Folder relationships", "4 · Files requiring action",
+                 "5 · Duplicate files", "target_diverged", "docs"):
+        assert frag in html
+    txt = stdout_summary(result)
+    assert "Duplicate groups : 1" in txt
+    assert "1 file(s) require action" in txt

@@ -199,3 +199,56 @@ def test_union_find_components():
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert 99 not in comp
+
+
+# ---- one-permutation minhash (OPH) ----
+
+def test_oph_deterministic_and_batch_consistent():
+    from cloud_dedup_ray.functions.minhash import OnePermMinHasher
+
+    oph = OnePermMinHasher(128, seed=42)
+    x = np.arange(200, dtype=np.uint64) * 7919 + 3
+    s1 = oph.signatures([x])
+    s2 = OnePermMinHasher(128, seed=42).signatures([x.copy(), x.copy()])
+    assert (s1[0] == s2[0]).all() and (s2[0] == s2[1]).all()
+    # different seed → different signature
+    s3 = OnePermMinHasher(128, seed=43).signatures([x])
+    assert (s1[0] != s3[0]).any()
+
+
+def test_oph_jaccard_estimate_accuracy_small_and_large():
+    from cloud_dedup_ray.functions.minhash import OnePermMinHasher
+
+    rng = np.random.RandomState(5)
+    oph = OnePermMinHasher(128, seed=42)
+    for n in (40, 600):  # sparse (most bins empty → densified) and dense
+        errs = []
+        for _ in range(40):
+            a = np.unique(rng.randint(0, 1 << 62, n).astype(np.uint64))
+            b = np.unique(
+                np.concatenate(
+                    [a[: int(0.9 * a.size)],
+                     rng.randint(0, 1 << 62, max(1, n // 10)).astype(np.uint64)]
+                )
+            )
+            true = exact_jaccard(a, b)
+            s = oph.signatures([a, b])
+            errs.append((s[0] == s[1]).mean() - true)
+        errs = np.asarray(errs)
+        assert abs(errs.mean()) < 0.03, f"biased at n={n}: {errs.mean()}"
+        assert errs.std() < 0.08, f"too noisy at n={n}: {errs.std()}"
+
+
+def test_oph_empty_and_tiny_docs():
+    from cloud_dedup_ray.functions.minhash import OnePermMinHasher
+
+    oph = OnePermMinHasher(128, seed=42)
+    sigs = oph.signatures(
+        [np.empty(0, np.uint64), np.array([12345], np.uint64)]
+    )
+    assert (sigs[0] == OnePermMinHasher.EMPTY).all()
+    # single-shingle doc: every bin resolves to the one filled bin's value
+    assert (sigs[1] != OnePermMinHasher.EMPTY).all()
+    # identical single-shingle docs produce identical signatures
+    sigs2 = oph.signatures([np.array([12345], np.uint64)])
+    assert (sigs[1] == sigs2[0]).all()
