@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_by_nation": R.customer_balance_by_nation,
         "part_type_stats": R.part_type_stats,
         "top_click_events": R.top_click_events,
+        "order_revenue_join": R.order_revenue_join,
+        "top_orders_per_customer": R.top_orders_per_customer,
+        "events_sessionize": R.events_sessionize,
+        "distinct_part_types": R.distinct_part_types,
         # text / training-data ops (SQL-checked)
         "docs_exact_dedup": T.docs_exact_dedup,
         "docs_token_count": T.docs_token_count,
@@ -262,6 +266,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'click'
                 ORDER BY value DESC, event_id LIMIT 20
             )
+        """,
+        "order_revenue_join": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(revenue), 2) AS total_revenue
+            FROM (
+                SELECT o_orderkey, o_orderstatus,
+                       sum(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            )
+            GROUP BY o_orderstatus
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sess_id
+                FROM marked
+            ), sess AS (
+                SELECT user_id, sess_id, count(*) AS cnt
+                FROM numbered GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(cnt) AS max_session_events, sum(cnt) AS n_events
+            FROM sess GROUP BY user_id
+        """,
+        "distinct_part_types": """
+            SELECT DISTINCT p_type FROM part
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS content_hash,

@@ -321,8 +321,6 @@ def analyze_corpus(
         corpus, skip_hidden=cfg.skip_hidden, use_checksum=cfg.use_checksum
     ).materialize()  # reused by 4 downstream passes; metadata+digests only
 
-    labels = sorted(projected.unique("repo"))
-    n_labels = len(labels)
     num_parts = 32
 
     def _part_name_size(t: pa.Table) -> pa.Table:
@@ -331,91 +329,111 @@ def analyze_corpus(
         )
         return t.append_column("__part", pa.array(part))
 
-    groups = (
+    # The classified group table is ≪ the corpus (one row per matched
+    # blocking key), so it is collected to the driver ONCE; routing,
+    # pairwise counts and the anti-join key sets are then plain pandas —
+    # this replaces six separate Ray jobs (filter×3, flat_map+groupby,
+    # filter-count, take_all loop) with zero extra cluster round-trips.
+    groups_df = (
         projected.map_batches(_part_name_size, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(GroupClassifier(cfg), batch_format="pyarrow")
-        .materialize()  # one row per matched key — small vs corpus
+        .to_pandas()
     )
+    if groups_df.empty:
+        groups_df = GROUP_SCHEMA.empty_table().to_pandas()
 
     # anti-join key set for the mixed-type pass (reference :439-446).
-    # Collected to the driver + broadcast: |set| = #groups ≪ #files. The
-    # 10^12-scale path is a distributed hash anti-join on path_lower.
-    handled = {
-        p.lower()
-        for p in groups.select_columns(["rel_path"]).to_pandas()["rel_path"]
-    }
+    # Broadcast: |set| = #groups ≪ #files. The 10^12-scale path is a
+    # distributed hash anti-join on path_lower.
+    handled = {p.lower() for p in groups_df["rel_path"]}
     handled_ref = ray.put(handled)
 
     def _part_path(t: pa.Table) -> pa.Table:
         part = coarse.str_partition(t["path_lower"].to_pylist(), num_parts)
         return t.append_column("__part", pa.array(part))
 
-    mixed = (
+    mixed_df = (
         projected.map_batches(_part_path, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(MixedTypeClassifier(cfg, handled_ref), batch_format="pyarrow")
+        .to_pandas()
     )
+    if mixed_df.empty:
+        mixed_df = GROUP_SCHEMA.empty_table().to_pandas()
 
-    duplicate_groups = groups.filter(expr="route == 'duplicate'").materialize()
-    conflict_groups = (
-        groups.filter(expr="route == 'conflict'").union(mixed).materialize()
+    import pandas as pd
+
+    dup_df = groups_df[groups_df.route == "duplicate"]
+    con_df = pd.concat(
+        [groups_df[groups_df.route == "conflict"], mixed_df], ignore_index=True
     )
-    symlink_groups = groups.filter(expr="route == 'symlink'").materialize()
+    sym_df = groups_df[groups_df.route == "symlink"]
 
-    # ---- counts (A1-A4) ----
-    total_files = {
-        r["repo"]: r["count()"]
-        for r in projected.groupby("repo").count().take_all()
-    }
+    def _as_ds(df: "pd.DataFrame") -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df.reset_index(drop=True), schema=GROUP_SCHEMA,
+                                 preserve_index=False)
+        )
 
-    def _pair_rows(batch: pa.Table) -> pa.Table:
-        la, lb = [], []
-        for svcs in batch["services"].to_pylist():
-            for a, b in combinations(svcs, 2):
-                la.append(a)
-                lb.append(b)
-        return pa.table({"la": la, "lb": lb})
-
-    pairwise_counts = {f"{la}↔{lb}": 0 for la, lb in combinations(labels, 2)}
-    for r in (
-        duplicate_groups.map_batches(_pair_rows, batch_format="pyarrow")
-        .groupby(["la", "lb"])
-        .count()
-        .take_all()
-    ):
-        pairwise_counts[f"{r['la']}↔{r['lb']}"] = r["count()"]
-
-    all_services_count = duplicate_groups.filter(
-        expr=f"n_services == {n_labels}"
-    ).count()
+    duplicate_groups = _as_ds(dup_df)
+    conflict_groups = _as_ds(con_df)
+    symlink_groups = _as_ds(sym_df)
 
     # ---- unique counts (J7, representative-path quirk preserved) ----
-    dup_rel_paths: dict[str, set[str]] = {l: set() for l in labels}
-    for ds_part in (duplicate_groups, conflict_groups, symlink_groups):
-        for r in ds_part.select_columns(["rel_path", "services"]).take_all():
-            rp = r["rel_path"].lower()
-            for l in r["services"]:
-                dup_rel_paths[l].add(rp)
+    dup_rel_paths: dict[str, set[str]] = {}
+    for df_part in (dup_df, con_df, sym_df):
+        for rp, svcs in zip(df_part["rel_path"], df_part["services"]):
+            rpl = rp.lower()
+            for l in svcs:
+                dup_rel_paths.setdefault(l, set()).add(rpl)
     dup_ref = ray.put(dup_rel_paths)
 
-    def _matched_mask(batch: pa.Table) -> pa.Table:
+    # A1 + A4 in ONE distributed pass: per batch emit (repo, total,
+    # matched) partials, reduce with a tiny groupby.
+    def _count_partials(batch: pa.Table) -> pa.Table:
         sets = ray.get(dup_ref)
-        repos = batch["repo"].to_pylist()
-        pls = batch["path_lower"].to_pylist()
-        keep = [pl in sets[rp] for rp, pl in zip(repos, pls)]
-        return batch.filter(pa.array(keep)).select(["repo"])
+        df = pa.table(
+            {"repo": batch["repo"], "path_lower": batch["path_lower"]}
+        ).to_pandas()
+        rows = []
+        for repo, g in df.groupby("repo", sort=False):
+            matched = sum(pl in sets.get(repo, ()) for pl in g["path_lower"])
+            rows.append({"repo": repo, "total": len(g), "matched": matched})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("repo", pa.string()), ("total", pa.int64()),
+                 ("matched", pa.int64())]
+            ),
+        )
 
-    matched_counts = {
-        r["repo"]: r["count()"]
-        for r in projected.map_batches(_matched_mask, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    total_files: dict[str, int] = {}
+    matched_counts: dict[str, int] = {}
+    for r in (
+        projected.map_batches(_count_partials, batch_format="pyarrow")
         .groupby("repo")
-        .count()
+        .aggregate(Sum("total", alias_name="total"),
+                   Sum("matched", alias_name="matched"))
         .take_all()
-    }
+    ):
+        total_files[r["repo"]] = r["total"]
+        matched_counts[r["repo"]] = r["matched"]
+    # the same pass yields the label set (A1 doubles as label discovery)
+    labels = sorted(total_files)
+    n_labels = len(labels)
     unique_counts = {
         l: total_files.get(l, 0) - matched_counts.get(l, 0) for l in labels
     }
+
+    # ---- counts (A2-A3, driver-side over the collected group table) ----
+    pairwise_counts = {f"{la}↔{lb}": 0 for la, lb in combinations(labels, 2)}
+    for svcs in dup_df["services"]:
+        for a, b in combinations(svcs, 2):
+            pairwise_counts[f"{a}↔{b}"] += 1
+    all_services_count = int((dup_df["n_services"] == n_labels).sum())
 
     # ---- folder analytics (F1-F6): distributed name-set aggregation,
     # driver-side rollups over the (small) folder table ----

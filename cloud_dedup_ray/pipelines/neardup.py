@@ -106,18 +106,22 @@ def _verify_edges(
         mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
         return t.filter(pa.array(mask)).select(["doc_id", "sig"])
 
-    sig_map: dict[int, np.ndarray] = {}
+    id_parts: list[np.ndarray] = []
+    sig_parts: list[np.ndarray] = []
     for bt in signed.map_batches(_sig_filter, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        ids = np.asarray(bt["doc_id"], np.int64)
+        id_parts.append(np.asarray(bt["doc_id"], np.int64))
         num_perm = bt["sig"].type.list_size
-        sigs = np.asarray(bt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
-        for i, d in enumerate(ids):
-            sig_map[int(d)] = sigs[i]
-
-    sa = np.stack([sig_map[int(x)] for x in a])
-    sb = np.stack([sig_map[int(x)] for x in b])
+        sig_parts.append(
+            np.asarray(bt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
+        )
+    all_ids = np.concatenate(id_parts)
+    all_sigs = np.concatenate(sig_parts)
+    order = np.argsort(all_ids)
+    all_ids, all_sigs = all_ids[order], all_sigs[order]
+    sa = all_sigs[np.searchsorted(all_ids, a)]
+    sb = all_sigs[np.searchsorted(all_ids, b)]
     est = (sa == sb).mean(axis=1)
     margin = cfg.verify_margin
     accept = est >= cfg.jaccard_threshold + margin
@@ -306,28 +310,35 @@ def containment_edges(
         for d, c in zip(bt["doc_id"].to_pylist(), bt["content_norm"].to_pylist()):
             texts[d] = c
 
-    # distribute group verification as ray tasks (each group independent)
+    # distribute group verification as CHUNKED ray tasks: one task per
+    # ~len(groups)/n_chunks groups so the (shared) docs dict is
+    # deserialized once per task, not once per candidate group.
     @ray.remote
-    def _verify_group(ids: tuple[int, ...], docs: dict[int, str]) -> list[tuple[int, int]]:
+    def _verify_chunk(
+        chunk: list[tuple[int, ...]], docs: dict[int, str]
+    ) -> list[tuple[int, int]]:
         out = []
-        members = sorted(ids, key=lambda d: -len(docs.get(d, "")))
-        arrays: dict[int, SuffixArray] = {}
-        for i, big in enumerate(members):
-            bt = docs.get(big, "")
-            if not bt:
-                continue
-            for small in members[i + 1 :]:
-                st = docs.get(small, "")
-                if not st or len(st) >= len(bt):
+        for ids in chunk:
+            members = sorted(ids, key=lambda d: -len(docs.get(d, "")))
+            arrays: dict[int, SuffixArray] = {}
+            for i, big in enumerate(members):
+                bt = docs.get(big, "")
+                if not bt:
                     continue
-                if big not in arrays:
-                    arrays[big] = SuffixArray(bt)
-                if arrays[big].contains(st):
-                    out.append((min(big, small), max(big, small)))
+                for small in members[i + 1 :]:
+                    st = docs.get(small, "")
+                    if not st or len(st) >= len(bt):
+                        continue
+                    if big not in arrays:
+                        arrays[big] = SuffixArray(bt)
+                    if arrays[big].contains(st):
+                        out.append((min(big, small), max(big, small)))
         return out
 
     docs_ref = ray.put(texts)
-    futures = [_verify_group.remote(g, docs_ref) for g in groups]
+    n_chunks = min(64, len(groups))
+    chunks = [groups[i::n_chunks] for i in range(n_chunks)]
+    futures = [_verify_chunk.remote(c, docs_ref) for c in chunks]
     edges: list[tuple[int, int]] = []
     for res in ray.get(futures):
         edges.extend(res)
@@ -400,17 +411,21 @@ def cluster_corpus(
     t_cont = time.perf_counter()
 
     comp = uf.components()
-    comp_ref = ray.put(comp)
+    comp_keys = np.fromiter(comp.keys(), np.int64, len(comp))
+    comp_vals = np.fromiter(comp.values(), np.int64, len(comp))
+    korder = np.argsort(comp_keys)
+    comp_ref = ray.put((comp_keys[korder], comp_vals[korder]))
 
     def _assign(t: pa.Table) -> pa.Table:
-        c = ray.get(comp_ref)
-        ids = t["doc_id"].to_pylist()
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "cluster_id": pa.array([c.get(d, d) for d in ids], pa.int64()),
-            }
-        )
+        keys, vals = ray.get(comp_ref)
+        ids = np.asarray(t["doc_id"], np.int64)
+        idx = np.searchsorted(keys, ids).clip(0, max(len(keys) - 1, 0))
+        if len(keys):
+            hit = keys[idx] == ids
+            cluster = np.where(hit, vals[idx], ids)
+        else:
+            cluster = ids
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": pa.array(cluster)})
 
     assignments = corpus.map_batches(_assign, batch_format="pyarrow")
 

@@ -239,3 +239,101 @@ def top_click_events(sf_dir: str) -> pd.DataFrame:
     )
     out["value"] = out["value"].round(4)
     return out[["event_id", "user_id", "value"]]
+
+
+def order_revenue_join(sf_dir: str) -> pd.DataFrame:
+    """Fact-fact shuffle hash join: lineitem revenue pre-aggregated per
+    order key (combiner before the shuffle), then ``Dataset.join`` with
+    orders — the wide-join path — and a grouped rollup by order status.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
+        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    order_rev = (
+        li.map_batches(partial_rev, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = orders.join(
+        order_rev, join_type="inner", num_partitions=16, on=("o_orderkey",)
+    )
+    out = (
+        joined.groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("revenue", alias_name="total_revenue"),
+        )
+        .to_pandas()
+    )
+    out["total_revenue"] = out["total_revenue"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k window (ROW_NUMBER() ≤ k twin): the orders table
+    grouped by customer, each group sorted by price desc and truncated —
+    a ``groupby.map_groups`` windowed ranking."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df
+
+    out = (
+        ds.groupby("o_custkey")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization per user (streaming-shaped stateful op):
+    events sorted per user, a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Emits per-user session
+    counts + the longest session's event count. Keyed state lives inside
+    ``map_groups`` — partitioning assumption: one user's events fit in
+    one group (true for event streams keyed by user)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[s]").astype(np.int64)
+        new_session = np.concatenate([[True], gaps > gap_minutes * 60])
+        sess_ids = np.cumsum(new_session)
+        sizes = np.bincount(sess_ids)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_sessions": [int(sess_ids[-1])],
+                "max_session_events": [int(sizes.max())],
+                "n_events": [len(ts)],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def distinct_part_types(sf_dir: str) -> pd.DataFrame:
+    """DISTINCT via the Dataset unique path (shuffle dedup on the key)."""
+    vals = _read(sf_dir, "part", ["p_type"]).unique("p_type")
+    return pd.DataFrame({"p_type": sorted(vals)})
