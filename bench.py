@@ -33,10 +33,14 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _bench_corpus_dir(sf: float) -> str:
-    """Deterministic bench corpus sized to the scale factor."""
+    """Deterministic bench corpus sized to the scale factor.
+    ``GRAFT_BENCH_N`` overrides the file count (used by --scaling to run
+    at a compute-dominated size)."""
     from cloud_dedup_ray.datagen import write_corpus
 
-    n = {0.001: 600, 0.01: 2000, 0.1: 20000}.get(sf, 2000)
+    n = int(os.environ.get("GRAFT_BENCH_N", "0")) or {
+        0.001: 600, 0.01: 2000, 0.1: 20000
+    }.get(sf, 2000)
     return write_corpus(f"/tmp/cdr_bench/n{n}", seed=42, n_files=n,
                         n_repos=4, n_shards=64)
 
@@ -141,9 +145,14 @@ def run_scaling() -> dict:
         int(os.environ.get("SCALE_LO", "8")),
         int(os.environ.get("SCALE_HI", "32")),
     )
+    # Strong scaling is only meaningful when per-stage compute dominates
+    # the fixed orchestration cost (Ray job launch, driver collection,
+    # shuffle latency — ~10-15 s regardless of input size). The scaling
+    # corpus is therefore larger than the per-round bench corpus.
+    scale_n = os.environ.get("GRAFT_BENCH_N", "80000")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_N=scale_n)
         p = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
             env=env, capture_output=True, text=True, check=True,

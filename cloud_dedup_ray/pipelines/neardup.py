@@ -19,6 +19,7 @@ magnitude smaller than the corpus. The 10^12-scale upgrade path
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -221,12 +222,10 @@ def containment_edges(
     clusters (all mutually near-identical) from the suffix-array work
     entirely.
     """
-    norm = corpus.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"], "content_norm": normalize(t["content"])}
-        ),
-        batch_format="pyarrow",
-    )
+    # NOTE: normalized content is fetched lazily AFTER candidate-group
+    # pruning (filter → normalize, not normalize-all → filter), so the
+    # normalize kernel runs only over docs that are members of some
+    # candidate group.
 
     anchors = signed.map_batches(
         lambda t: pa.table(
@@ -294,17 +293,21 @@ def containment_edges(
     if not groups:
         return []
 
-    # fetch normalized contents for all group members (semi-join broadcast)
-    needed = sorted({d for g in groups for d in g})
-    need_ref = ray.put(set(needed))
+    # fetch normalized contents for group members only (semi-join
+    # broadcast of the needed-id array; filter first, THEN normalize)
+    needed = np.fromiter(sorted({d for g in groups for d in g}), np.int64)
+    need_ref = ray.put(needed)
 
     def _content_filter(t: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
-        mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()])
-        return t.filter(mask)
+        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
+        t = t.filter(pa.array(mask))
+        return pa.table(
+            {"doc_id": t["doc_id"], "content_norm": normalize(t["content"])}
+        )
 
     texts: dict[int, str] = {}
-    for bt in norm.map_batches(_content_filter, batch_format="pyarrow").iter_batches(
+    for bt in corpus.map_batches(_content_filter, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
         for d, c in zip(bt["doc_id"].to_pylist(), bt["content_norm"].to_pylist()):
@@ -345,34 +348,113 @@ def containment_edges(
     return sorted(set(edges))
 
 
+def sign_dataset(corpus: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    """The MinHash signing stage: stateful actor pool over Arrow batches."""
+    return corpus.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.signer_concurrency,
+        num_cpus=1,
+    )
+
+
+def cluster_corpus_resumable(
+    corpus_dir: str,
+    cfg: DedupConfig,
+    num_partitions: int = 8,
+    with_containment: bool = True,
+) -> NearDupResult:
+    """Near-dup clustering with PER-PARTITION signature checkpoints
+    (north rule): the corpus' parquet files are split into
+    ``num_partitions`` groups, each signed and checkpointed
+    independently (``sig_part_NNNN/_lineage.json``), so a killed run
+    resumes by re-signing only incomplete partitions. Per-partition
+    rows/sec metrics are recorded in ``metrics["partitions"]``.
+    """
+    import glob as _glob
+
+    from cloud_dedup_ray.sources.corpus import read_corpus
+    from cloud_dedup_ray.stages.project import project_corpus
+    from cloud_dedup_ray.state.checkpoint import StageCheckpoint
+
+    assert cfg.checkpoint_dir, "cluster_corpus_resumable requires checkpoint_dir"
+    ckpt = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
+    files = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    n_parts = max(1, min(num_partitions, len(files)))
+    groups = [list(g) for g in np.array_split(np.asarray(files), n_parts)]
+
+    def _prep(paths: list[str]) -> ray.data.Dataset:
+        return (
+            project_corpus(read_corpus(paths), drop_content=False)
+            .filter(expr="is_symlink == False")
+        )
+
+    parts: list[ray.data.Dataset] = []
+    resumed: list[str] = []
+    part_metrics: list[dict] = []
+    for i, g in enumerate(groups):
+        stage = f"sig_part_{i:04d}"
+        tp = time.perf_counter()
+        ds_part, was = ckpt.run(stage, lambda g=g: sign_dataset(_prep(g), cfg))
+        n_rows = ds_part.count()
+        dt = time.perf_counter() - tp
+        part_metrics.append(
+            {
+                "partition": i,
+                "n_files": len(g),
+                "n_rows": n_rows,
+                "sec": round(dt, 3),
+                "rows_per_sec": round(n_rows / dt, 1) if dt > 0 else None,
+                "resumed": was,
+            }
+        )
+        if was:
+            resumed.append(stage)
+        parts.append(ds_part)
+    signed = parts[0]
+    for p in parts[1:]:
+        signed = signed.union(p)
+    corpus = _prep(files).materialize()
+    res = cluster_corpus(
+        corpus,
+        cfg,
+        with_containment=with_containment,
+        signed=signed.materialize(),
+        resumed_stages=resumed,
+    )
+    res.metrics["partitions"] = part_metrics
+    return res
+
+
 def cluster_corpus(
     corpus: ray.data.Dataset,
     cfg: DedupConfig | None = None,
     with_containment: bool = True,
+    signed: ray.data.Dataset | None = None,
+    resumed_stages: list[str] | None = None,
 ) -> NearDupResult:
     """Full near-dup clustering over a corpus Dataset that has
     ``doc_id:int64`` and ``content:string`` columns (symlink rows should
-    be filtered out by the caller or carry empty content)."""
+    be filtered out by the caller or carry empty content). Pass a
+    pre-signed dataset (``signed``) to skip the signing stage — used by
+    :func:`cluster_corpus_resumable`."""
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
     ckpt = None
-    resumed: list[str] = []
+    resumed: list[str] = list(resumed_stages or [])
     if cfg.checkpoint_dir:
         from cloud_dedup_ray.state.checkpoint import StageCheckpoint
 
         ckpt = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
 
     def _build_signed() -> ray.data.Dataset:
-        return corpus.map_batches(
-            MinHashSigner,
-            fn_constructor_kwargs={"cfg": cfg},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.signer_concurrency,
-            num_cpus=1,
-        )
+        return sign_dataset(corpus, cfg)
 
-    if ckpt:
+    if signed is not None:
+        pass
+    elif ckpt:
         signed, was = ckpt.run("signatures", _build_signed)
         signed = signed.materialize()
         if was:

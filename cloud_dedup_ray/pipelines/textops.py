@@ -19,7 +19,11 @@ import ray.data
 
 from cloud_dedup_ray.config import DedupConfig
 from cloud_dedup_ray.functions.hashing import md5_hex
-from cloud_dedup_ray.functions.simhash import hamming64, simhash_tokens
+from cloud_dedup_ray.functions.simhash import (
+    hamming64,
+    simhash_tokens,
+    simhash_tokens_batch,
+)
 from cloud_dedup_ray.functions.text import (
     char_ngrams,
     fingerprint64,
@@ -151,10 +155,7 @@ def docs_simhash(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def sh(t: pa.Table) -> pa.Table:
-        vals = np.array(
-            [simhash_tokens(x) for x in normalize(t["text"]).to_pylist()],
-            np.uint64,
-        )
+        vals = simhash_tokens_batch(normalize(t["text"]).to_pylist())
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(vals.view(np.int64))})
 
     out = ds.map_batches(sh, batch_format="pyarrow").to_pandas()
@@ -162,35 +163,104 @@ def docs_simhash(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-dup candidate pairs within Hamming ≤ k, blocked on
-    16-bit fingerprint chunks (Manku et al. WWW'07 table approach: a
-    pair within Hamming 6 of 64 bits shares at least one of 4 16-bit
-    chunks exactly)."""
-    sh = docs_simhash(sf_dir)
-    ids = sh["doc_id"].to_numpy()
-    fps = sh["simhash"].to_numpy().view(np.uint64)
-    from collections import defaultdict
+    """SimHash near-dup pairs within Hamming ≤ k, blocked on PAIRS of
+    8-bit fingerprint chunks (Manku et al. WWW'07 multi-table scheme):
+    with the 64-bit fingerprint split into 8 chunks, ≤6 differing bits
+    leave at least 8−6 = 2 chunks exactly equal (pigeonhole), so every
+    true pair collides in at least one of the C(8,2) = 28 chunk-pair
+    tables. (Blocking on single 16-bit chunks — the obvious variant —
+    only guarantees recall for Hamming ≤ 3.)
 
-    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
-    for i, f in enumerate(fps):
-        for c in range(4):
-            chunk = int((f >> np.uint64(16 * c)) & np.uint64(0xFFFF))
-            buckets[(c, chunk)].append(i)
-    cand = set()
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        for ii in range(len(members)):
-            for jj in range(ii + 1, len(members)):
-                cand.add((members[ii], members[jj]))
-    rows = []
-    for i, j in cand:
-        d = int(hamming64(fps[i : i + 1], fps[j])[0])
-        if d <= max_hamming:
-            a, b = int(ids[i]), int(ids[j])
-            rows.append((min(a, b), max(a, b), d))
+    Distributed shape mirrors the MinHash-LSH tier: simhash map_batches
+    → 28 (table_id, key16, doc_id, fp) rows per doc → coarse-partitioned
+    groupby → per-bucket pair emission + exact Hamming verify inside the
+    group task (vectorized), dedup on the driver. Zero-fingerprint
+    (empty) docs are excluded — they are all mutually "identical" and
+    belong to the exact tier."""
+    from itertools import combinations as _combos
+
+    from cloud_dedup_ray.stages import coarse
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    combos = list(_combos(range(8), 2))
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        vals = simhash_tokens_batch(normalize(t["text"]).to_pylist())
+        ids = np.asarray(t["doc_id"], np.int64)
+        nonzero = vals != 0
+        vals, ids = vals[nonzero], ids[nonzero]
+        n = len(ids)
+        chunks = np.stack(
+            [((vals >> np.uint64(8 * c)) & np.uint64(0xFF)).astype(np.int64)
+             for c in range(8)],
+            axis=1,
+        )  # (n, 8)
+        tids, keys = [], []
+        for tid, (ci, cj) in enumerate(combos):
+            tids.append(np.full(n, tid, np.int32))
+            keys.append(chunks[:, ci] << 8 | chunks[:, cj])
+        k = len(combos)
+        return pa.table(
+            {
+                "chunk_id": np.concatenate(tids),
+                "chunk_val": np.concatenate(keys),
+                "doc_id": np.tile(ids, k),
+                "fp": np.tile(vals.view(np.int64), k),
+            }
+        )
+
+    def _add_part(t: pa.Table) -> pa.Table:
+        key = (
+            np.asarray(t["chunk_val"], np.int64).view(np.uint64)
+            ^ (np.asarray(t["chunk_id"]).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        )
+        part = (coarse.splitmix64(key) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        cid = np.asarray(t["chunk_id"], np.int64)
+        cval = np.asarray(t["chunk_val"], np.int64)
+        ids = np.asarray(t["doc_id"], np.int64)
+        fps = np.asarray(t["fp"], np.int64).view(np.uint64)
+        order = np.lexsort((ids, cval, cid))
+        keys = np.stack([cid[order], cval[order]], axis=1)
+        a_out, b_out, h_out = [], [], []
+        for sl in coarse.group_slices(order, keys):
+            idx = order[sl]
+            mem_ids, first = np.unique(ids[idx], return_index=True)
+            if len(mem_ids) < 2:
+                continue
+            mem_fps = fps[idx][first]
+            ii, jj = np.triu_indices(len(mem_ids), k=1)
+            h = hamming64(mem_fps[ii], mem_fps[jj])
+            keep = h <= max_hamming
+            a_out.append(mem_ids[ii][keep])
+            b_out.append(mem_ids[jj][keep])
+            h_out.append(h[keep].astype(np.int64))
+        if not a_out:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_a": np.concatenate(a_out),
+                "doc_b": np.concatenate(b_out),
+                "hamming": np.concatenate(h_out),
+            }
+        )
+
+    bucket_pairs.__name__ = "simhash_bucket_pairs"
+    out = (
+        ds.map_batches(sh_rows, batch_format="pyarrow")
+        .map_batches(_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # a pair can collide in several chunks → dedup on the driver
     return (
-        pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        out.drop_duplicates(["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )

@@ -82,3 +82,42 @@ def test_atomic_write_tmpdir_never_valid(corpus, tmp_path):
     ck = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
     os.makedirs(tmp_path / "ck" / "signatures" / "data.tmp", exist_ok=True)
     assert not ck.complete("signatures")
+
+
+def test_per_partition_resume(tmp_path, monkeypatch):
+    """Kill/resume at partition granularity: only the partition whose
+    lineage is missing gets re-signed; completed partitions are loaded
+    from their checkpoints and the final assignments are identical."""
+    from cloud_dedup_ray.datagen import write_corpus
+    from cloud_dedup_ray.pipelines.neardup import cluster_corpus_resumable
+
+    cdir = write_corpus(str(tmp_path / "corpus"), seed=7, n_files=120,
+                        n_repos=3, n_shards=8)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    r1 = cluster_corpus_resumable(cdir, cfg, num_partitions=4,
+                                  with_containment=False)
+    a1 = _assign(r1)
+    assert [p["resumed"] for p in r1.metrics["partitions"]] == [False] * 4
+    assert all(p["rows_per_sec"] is not None for p in r1.metrics["partitions"])
+
+    # simulate a kill mid-run: partition 2 incomplete, bucket stage gone
+    import shutil
+
+    shutil.rmtree(tmp_path / "ck" / "sig_part_0002")
+    shutil.rmtree(tmp_path / "ck" / "lsh_buckets")
+
+    calls = []
+    orig = neardup.sign_dataset
+
+    def counting_sign(corpus, cfg_):
+        calls.append(1)
+        return orig(corpus, cfg_)
+
+    monkeypatch.setattr(neardup, "sign_dataset", counting_sign)
+    r2 = cluster_corpus_resumable(cdir, cfg, num_partitions=4,
+                                  with_containment=False)
+    assert len(calls) == 1  # only the deleted partition re-signed
+    assert [p["resumed"] for p in r2.metrics["partitions"]] == [
+        True, True, False, True,
+    ]
+    assert _assign(r2) == a1

@@ -252,3 +252,16 @@ def test_oph_empty_and_tiny_docs():
     # identical single-shingle docs produce identical signatures
     sigs2 = oph.signatures([np.array([12345], np.uint64)])
     assert (sigs[1] == sigs2[0]).all()
+
+
+def test_simhash_batch_matches_scalar():
+    from cloud_dedup_ray.functions.simhash import (
+        simhash_tokens,
+        simhash_tokens_batch,
+    )
+
+    texts = ["the quick brown fox", "jumps over the lazy dog", "", None,
+             "def main(): return 42"]
+    batch = simhash_tokens_batch(texts)
+    for t, b in zip(texts, batch):
+        assert int(b) == (simhash_tokens(t) if t else 0)

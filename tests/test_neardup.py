@@ -153,3 +153,30 @@ def test_deterministic_across_runs(small_corpus):
     a1 = {r["doc_id"]: r["cluster_id"] for r in r1.assignments.take_all()}
     a2 = {r["doc_id"]: r["cluster_id"] for r in r2.assignments.take_all()}
     assert a1 == a2
+
+
+def test_simhash_pairs_complete_vs_bruteforce():
+    """The 28-table chunk-pair blocking must find EVERY pair within
+    Hamming ≤ 6 (pigeonhole guarantee) — compared against brute force
+    over all fingerprint pairs."""
+    import numpy as np
+
+    from cloud_dedup_ray.functions.simhash import hamming64
+    from cloud_dedup_ray.pipelines.textops import docs_simhash, docs_simhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    df = docs_simhash_pairs(sf)
+    sh = docs_simhash(sf)
+    ids = sh["doc_id"].to_numpy()
+    fps = sh["simhash"].to_numpy().view(np.uint64)
+    truth = set()
+    for i in range(len(ids)):
+        if fps[i] == 0:
+            continue
+        rest = fps[i + 1:]
+        d = hamming64(rest, fps[i])
+        for j in np.nonzero((d <= 6) & (rest != 0))[0]:
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            truth.add((min(a, b), max(a, b)))
+    got = set(zip(df.doc_a, df.doc_b))
+    assert got == truth
