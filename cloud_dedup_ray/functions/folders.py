@@ -45,16 +45,20 @@ def folder_analysis(
     for folder in list(all_folders):
         all_folders.update(ancestors(folder))
 
-    def has_presence(label: str, folder: str) -> bool:
-        fd = folder_sets[label]
-        if folder in fd:
-            return True
-        prefix = folder + "/"
-        return any(f.startswith(prefix) for f in fd)
+    # presence incl. descendants (F3), linear: a label is present in a
+    # folder iff the folder holds files directly or is an ancestor of a
+    # folder that does — precomputed by walking each direct folder's
+    # ancestor chain once (replaces the O(folders² ) startswith scan).
+    presence: dict[str, set[str]] = {}
+    for label, fd in folder_sets.items():
+        p = set(fd)
+        for folder in fd:
+            p.update(ancestors(folder))
+        presence[label] = p
 
     folder_comparisons: list[dict] = []
     for folder in sorted(all_folders):
-        present = [l for l in labels if has_presence(l, folder)]
+        present = [l for l in labels if folder in presence[l]]
         if not present:
             continue
         sets_here = {l: folder_sets[l].get(folder, set()) for l in present}
@@ -119,34 +123,74 @@ def folder_analysis(
     for fc in folder_comparisons:
         relationship_counts[fc["relationship"]] += 1
 
-    # subtree rollups: status over self + all descendant comparison rows
-    by_path = {fc["folder_path"]: fc for fc in folder_comparisons}
-    paths = set(by_path)
-    for fc in folder_comparisons:
+    # subtree rollups (F5): status over self + all descendant rows.
+    # folder_comparisons is path-sorted, so the descendants of p are the
+    # contiguous range of paths starting with ``p + "/"`` — found with
+    # two bisects and aggregated via prefix sums (O(F log F) total,
+    # replacing the O(F²) all-paths scan).
+    import bisect
+
+    import numpy as np
+
+    spaths = [fc["folder_path"] for fc in folder_comparisons]
+    rels = [fc["relationship"] for fc in folder_comparisons]
+    n_unique = np.cumsum([r == "unique" for r in rels])
+    n_identical = np.cumsum([r == "identical" for r in rels])
+    n_overlap = np.cumsum([r == "overlap" for r in rels])
+    totals = np.cumsum([fc["total_unique_files"] for fc in folder_comparisons])
+
+    def _range_stats(lo: int, hi: int) -> tuple[int, int, int, int, int]:
+        if hi <= lo:
+            return 0, 0, 0, 0, 0
+        base_u = n_unique[lo - 1] if lo else 0
+        base_i = n_identical[lo - 1] if lo else 0
+        base_o = n_overlap[lo - 1] if lo else 0
+        base_t = totals[lo - 1] if lo else 0
+        return (
+            hi - lo,
+            int(n_unique[hi - 1] - base_u),
+            int(n_identical[hi - 1] - base_i),
+            int(n_overlap[hi - 1] - base_o),
+            int(totals[hi - 1] - base_t),
+        )
+
+    n_rows = len(folder_comparisons)
+    for i, fc in enumerate(folder_comparisons):
         path = fc["folder_path"]
         if path == ROOT:
-            desc = folder_comparisons
+            # reference special-case: (root) rolls up every row (:665)
+            cnt, u, ident, ov, tot = _range_stats(0, n_rows)
         else:
-            desc = [by_path[p] for p in paths if p == path or p.startswith(path + "/")]
-        if all(d["relationship"] == "unique" for d in desc):
+            lo = bisect.bisect_left(spaths, path + "/")
+            hi = bisect.bisect_left(spaths, path + "/\U0010ffff")
+            cnt, u, ident, ov, tot = _range_stats(lo, hi)
+            # include the folder's own row
+            cnt += 1
+            u += fc["relationship"] == "unique"
+            ident += fc["relationship"] == "identical"
+            ov += fc["relationship"] == "overlap"
+            tot += fc["total_unique_files"]
+        if u == cnt:
             fc["subtree_status"] = "unique"
-        elif all(d["relationship"] == "identical" for d in desc):
+        elif ident == cnt:
             fc["subtree_status"] = "identical"
-        elif any(d["relationship"] == "overlap" for d in desc):
+        elif ov > 0:
             fc["subtree_status"] = "overlap"
         else:
             fc["subtree_status"] = "partial"
-        fc["subtree_total_files"] = sum(d["total_unique_files"] for d in desc)
+        fc["subtree_total_files"] = tot
 
-    # safe-to-delete roots: identical subtrees with no identical ancestor
-    identical = [fc for fc in folder_comparisons if fc["subtree_status"] == "identical"]
-    ipaths = [fc["folder_path"] for fc in identical]
+    # safe-to-delete roots (F6): identical subtrees with no identical
+    # ancestor — each candidate checks only its own ancestor chain.
+    iset = {
+        fc["folder_path"]
+        for fc in folder_comparisons
+        if fc["subtree_status"] == "identical"
+    }
     safe_roots = [
         fc
-        for fc in identical
-        if not any(
-            fc["folder_path"] != p and fc["folder_path"].startswith(p + "/")
-            for p in ipaths
-        )
+        for fc in folder_comparisons
+        if fc["subtree_status"] == "identical"
+        and not any(a in iset for a in ancestors(fc["folder_path"]))
     ]
     return folder_comparisons, dict(relationship_counts), safe_roots

@@ -252,6 +252,8 @@ class ExactResult:
     folder_comparisons: list[dict] = field(default_factory=list)
     relationship_counts: dict[str, int] = field(default_factory=dict)
     safe_to_delete_roots: list[dict] = field(default_factory=list)
+    #: per-phase wall seconds (throughput/skew observability, north rule)
+    metrics: dict = field(default_factory=dict)
 
     def to_result_dict(self) -> dict[str, Any]:
         """Reference-shaped result dict (:696-713, minus private keys and
@@ -316,10 +318,14 @@ def analyze_corpus(
 ) -> ExactResult:
     """Run the full exact-tier analysis over a corpus Dataset in the
     ``input_hint`` schema."""
+    import time
+
     cfg = cfg or DedupConfig()
+    t0 = time.perf_counter()
     projected = project_corpus(
         corpus, skip_hidden=cfg.skip_hidden, use_checksum=cfg.use_checksum
     ).materialize()  # reused by 4 downstream passes; metadata+digests only
+    t_project = time.perf_counter()
 
     num_parts = 32
 
@@ -335,32 +341,57 @@ def analyze_corpus(
     # this replaces six separate Ray jobs (filter×3, flat_map+groupby,
     # filter-count, take_all loop) with zero extra cluster round-trips.
     groups_df = (
-        projected.map_batches(_part_name_size, batch_format="pyarrow")
+        projected.select_columns(REC_COLS)  # prune before the shuffle
+        .map_batches(_part_name_size, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(GroupClassifier(cfg), batch_format="pyarrow")
         .to_pandas()
     )
     if groups_df.empty:
         groups_df = GROUP_SCHEMA.empty_table().to_pandas()
+    t_classify = time.perf_counter()
 
-    # anti-join key set for the mixed-type pass (reference :439-446).
-    # Broadcast: |set| = #groups ≪ #files. The 10^12-scale path is a
-    # distributed hash anti-join on path_lower.
+    # Mixed-type pass (reference :435-482): a qualifying path group must
+    # contain ≥1 symlink, so the shuffle input is pre-filtered to rows
+    # whose path_lower matches a symlink path — a broadcast semi-join
+    # that shrinks the second shuffle from the whole corpus to the
+    # symlink neighborhood. ``handled`` anti-join set: |set| = #groups
+    # ≪ #files (the 10^12-scale path is a distributed hash anti-join).
     handled = {p.lower() for p in groups_df["rel_path"]}
     handled_ref = ray.put(handled)
+    _sym_df = (
+        projected.filter(expr="is_symlink == True")
+        .select_columns(["path_lower"])
+        .to_pandas()
+    )
+    symlink_paths = (
+        set(_sym_df["path_lower"]) if "path_lower" in _sym_df.columns else set()
+    )
+    sym_paths_ref = ray.put(symlink_paths)
 
     def _part_path(t: pa.Table) -> pa.Table:
+        sympaths = ray.get(sym_paths_ref)
+        pls = t["path_lower"].to_pylist()
+        keep = pa.array([p in sympaths for p in pls])
+        t = t.filter(keep)
         part = coarse.str_partition(t["path_lower"].to_pylist(), num_parts)
         return t.append_column("__part", pa.array(part))
 
-    mixed_df = (
-        projected.map_batches(_part_path, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(MixedTypeClassifier(cfg, handled_ref), batch_format="pyarrow")
-        .to_pandas()
-    )
+    if symlink_paths:
+        mixed_df = (
+            projected.select_columns(REC_COLS + ["path_lower"])
+            .map_batches(_part_path, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(
+                MixedTypeClassifier(cfg, handled_ref), batch_format="pyarrow"
+            )
+            .to_pandas()
+        )
+    else:
+        mixed_df = GROUP_SCHEMA.empty_table().to_pandas()
     if mixed_df.empty:
         mixed_df = GROUP_SCHEMA.empty_table().to_pandas()
+    t_mixed = time.perf_counter()
 
     import pandas as pd
 
@@ -434,19 +465,14 @@ def analyze_corpus(
         for a, b in combinations(svcs, 2):
             pairwise_counts[f"{a}↔{b}"] += 1
     all_services_count = int((dup_df["n_services"] == n_labels).sum())
+    t_counts = time.perf_counter()
 
-    # ---- folder analytics (F1-F6): distributed name-set aggregation,
-    # driver-side rollups over the (small) folder table ----
-    def _part_repo_folder(t: pa.Table) -> pa.Table:
-        keys = [
-            f"{r}\0{f}"
-            for r, f in zip(t["repo"].to_pylist(), t["folder"].to_pylist())
-        ]
-        return t.append_column(
-            "__part", pa.array(coarse.str_partition(keys, num_parts))
-        )
-
-    def _folder_names(table: pa.Table) -> pa.Table:
+    # ---- folder analytics (F1-F6): per-batch PARTIAL name-set
+    # aggregation (combiner) + driver merge — no shuffle. The partial
+    # rows are (repo, folder, distinct-names-in-batch); the driver union
+    # is O(total names). At folder counts too large for one driver, the
+    # same partials feed a groupby(repo, folder) reduce instead. ----
+    def _folder_partials(table: pa.Table) -> pa.Table:
         df = table.select(["repo", "folder", "name"]).to_pandas()
         g = (
             df.groupby(["repo", "folder"], sort=False)["name"]
@@ -461,19 +487,31 @@ def analyze_corpus(
             }
         )
 
-    _folder_names.__name__ = "folder_names"
+    _folder_partials.__name__ = "folder_partials"
     folder_sets: dict[str, dict[str, set[str]]] = {l: {} for l in labels}
-    for r in (
-        projected.map_batches(_part_repo_folder, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(_folder_names, batch_format="pyarrow")
-        .take_all()
-    ):
-        folder_sets[r["repo"]][r["folder"]] = set(r["names"])
+    for bt in projected.map_batches(
+        _folder_partials, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for r, f, names in zip(
+            bt["repo"].to_pylist(), bt["folder"].to_pylist(), bt["names"].to_pylist()
+        ):
+            folder_sets[r].setdefault(f, set()).update(names)
 
+    t_folder_agg = time.perf_counter()
     folder_comparisons, relationship_counts, safe_roots = folder_analysis(
         folder_sets, labels
     )
+    t_folder = time.perf_counter()
+    metrics = {
+        "sec_project": round(t_project - t0, 3),
+        "sec_classify": round(t_classify - t_project, 3),
+        "sec_mixed": round(t_mixed - t_classify, 3),
+        "sec_counts": round(t_counts - t_mixed, 3),
+        "sec_folder_agg": round(t_folder_agg - t_counts, 3),
+        "sec_folder_analysis": round(t_folder - t_folder_agg, 3),
+        "n_groups": len(groups_df),
+        "n_folders": len(folder_comparisons),
+    }
 
     return ExactResult(
         labels=labels,
@@ -487,4 +525,5 @@ def analyze_corpus(
         folder_comparisons=folder_comparisons,
         relationship_counts=relationship_counts,
         safe_to_delete_roots=safe_roots,
+        metrics=metrics,
     )
