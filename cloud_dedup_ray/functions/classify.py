@@ -32,6 +32,17 @@ class Rec:
     is_symlink: bool
     symlink_target: str | None
     content_hash: str | None   # None ⇔ hash unavailable / failed / disabled
+    #: version identifier from the corpus table; "" for filesystem scans.
+    #: Participates in the deterministic representative tie-break (a repo
+    #: may hold several rows with the SAME path at different commits).
+    commit: str = ""
+
+    def rep_key(self) -> tuple:
+        """Deterministic representative ordering: min by (path, commit,
+        content_hash, mtime). Plain min-by-path is ambiguous when one
+        repo stores several commits of the same path — the winner would
+        depend on block arrival order."""
+        return (self.path, self.commit, self.content_hash or "", self.mtime)
 
 
 def classify_pair(

@@ -43,6 +43,7 @@ def _project_rows(rows: list[dict], skip_hidden: bool, use_checksum: bool) -> li
             Rec(
                 repo=r["repo"],
                 path=path,
+                commit=r.get("commit") or "",
                 name=base.lower(),
                 name_orig=base,
                 folder=folder,
@@ -70,10 +71,10 @@ def analyze_oracle(
     by_rel: dict[str, dict[str, Rec]] = defaultdict(dict)
     for r in recs:
         cur = by_key[(r.name, r.size)].get(r.repo)
-        if cur is None or r.path < cur.path:
+        if cur is None or r.rep_key() < cur.rep_key():
             by_key[(r.name, r.size)][r.repo] = r
         cur = by_rel[r.path.lower()].get(r.repo)
-        if cur is None or r.path < cur.path:
+        if cur is None or r.rep_key() < cur.rep_key():
             by_rel[r.path.lower()][r.repo] = r
 
     duplicate_groups, conflict_groups, symlinks = [], [], []

@@ -78,20 +78,25 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
 
 
 REC_COLS = (
-    "repo path name name_orig folder size mtime "
+    "repo path commit name name_orig folder size mtime "
     "is_symlink symlink_target content_sha256"
 ).split()
 
 
 def _df_first_per_repo(g) -> dict[str, Rec]:
     """Deterministic representative per repo from a pandas sub-frame:
-    min by path (replaces the reference's walk-order ``hits[0]``)."""
-    g = g.sort_values("path").drop_duplicates("repo", keep="first")
+    min by (path, commit, sha, mtime) — ``Rec.rep_key`` — replacing the
+    reference's walk-order ``hits[0]``. Plain min-by-path is ambiguous
+    for corpora holding several commits of one path per repo."""
+    g = g.sort_values(
+        ["path", "commit", "content_sha256", "mtime"], na_position="last"
+    ).drop_duplicates("repo", keep="first")
     out: dict[str, Rec] = {}
     for row in g.itertuples(index=False):
         out[row.repo] = Rec(
             repo=row.repo,
             path=row.path,
+            commit=row.commit if isinstance(row.commit, str) else "",
             name=row.name,
             name_orig=row.name_orig,
             folder=row.folder,
@@ -340,15 +345,69 @@ def analyze_corpus(
     # pairwise counts and the anti-join key sets are then plain pandas —
     # this replaces six separate Ray jobs (filter×3, flat_map+groupby,
     # filter-count, take_all loop) with zero extra cluster round-trips.
-    groups_df = (
-        projected.select_columns(REC_COLS)  # prune before the shuffle
-        .map_batches(_part_name_size, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(GroupClassifier(cfg), batch_format="pyarrow")
-        .to_pandas()
-    )
-    if groups_df.empty:
-        groups_df = GROUP_SCHEMA.empty_table().to_pandas()
+    # The classify shuffle and the (independent) symlink-path collection
+    # run CONCURRENTLY — Ray Data executions compose, and overlapping
+    # them hides per-job scheduling latency that would otherwise be
+    # serial driver time.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _run_classify():
+        df = (
+            projected.select_columns(REC_COLS)  # prune before the shuffle
+            .map_batches(_part_name_size, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(GroupClassifier(cfg), batch_format="pyarrow")
+            .to_pandas()
+        )
+        return df if not df.empty else GROUP_SCHEMA.empty_table().to_pandas()
+
+    def _run_sym_paths():
+        df = (
+            projected.filter(expr="is_symlink == True")
+            .select_columns(["path_lower"])
+            .to_pandas()
+        )
+        return set(df["path_lower"]) if "path_lower" in df.columns else set()
+
+    # folder name-set combiner (F1): per-batch partials, merged on the
+    # driver — no shuffle. At folder counts too large for one driver the
+    # same partials feed a groupby(repo, folder) reduce instead.
+    def _folder_partials(table: pa.Table) -> pa.Table:
+        df = table.select(["repo", "folder", "name"]).to_pandas()
+        g = (
+            df.groupby(["repo", "folder"], sort=False)["name"]
+            .agg(lambda s: sorted(set(s)))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "repo": pa.array(g["repo"], pa.string()),
+                "folder": pa.array(g["folder"], pa.string()),
+                "names": pa.array(list(g["name"]), pa.list_(pa.string())),
+            }
+        )
+
+    _folder_partials.__name__ = "folder_partials"
+
+    def _run_folder_partials() -> dict[str, dict[str, set[str]]]:
+        sets: dict[str, dict[str, set[str]]] = {}
+        for bt in projected.map_batches(
+            _folder_partials, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for r, f, names in zip(
+                bt["repo"].to_pylist(),
+                bt["folder"].to_pylist(),
+                bt["names"].to_pylist(),
+            ):
+                sets.setdefault(r, {}).setdefault(f, set()).update(names)
+        return sets
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    f_groups = pool.submit(_run_classify)
+    f_sym = pool.submit(_run_sym_paths)
+    f_folders = pool.submit(_run_folder_partials)
+    groups_df = f_groups.result()
+    symlink_paths = f_sym.result()
     t_classify = time.perf_counter()
 
     # Mixed-type pass (reference :435-482): a qualifying path group must
@@ -359,14 +418,6 @@ def analyze_corpus(
     # ≪ #files (the 10^12-scale path is a distributed hash anti-join).
     handled = {p.lower() for p in groups_df["rel_path"]}
     handled_ref = ray.put(handled)
-    _sym_df = (
-        projected.filter(expr="is_symlink == True")
-        .select_columns(["path_lower"])
-        .to_pandas()
-    )
-    symlink_paths = (
-        set(_sym_df["path_lower"]) if "path_lower" in _sym_df.columns else set()
-    )
     sym_paths_ref = ray.put(symlink_paths)
 
     def _part_path(t: pa.Table) -> pa.Table:
@@ -467,35 +518,13 @@ def analyze_corpus(
     all_services_count = int((dup_df["n_services"] == n_labels).sum())
     t_counts = time.perf_counter()
 
-    # ---- folder analytics (F1-F6): per-batch PARTIAL name-set
-    # aggregation (combiner) + driver merge — no shuffle. The partial
-    # rows are (repo, folder, distinct-names-in-batch); the driver union
-    # is O(total names). At folder counts too large for one driver, the
-    # same partials feed a groupby(repo, folder) reduce instead. ----
-    def _folder_partials(table: pa.Table) -> pa.Table:
-        df = table.select(["repo", "folder", "name"]).to_pandas()
-        g = (
-            df.groupby(["repo", "folder"], sort=False)["name"]
-            .agg(lambda s: sorted(set(s)))
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "repo": pa.array(g["repo"], pa.string()),
-                "folder": pa.array(g["folder"], pa.string()),
-                "names": pa.array(list(g["name"]), pa.list_(pa.string())),
-            }
-        )
-
-    _folder_partials.__name__ = "folder_partials"
-    folder_sets: dict[str, dict[str, set[str]]] = {l: {} for l in labels}
-    for bt in projected.map_batches(
-        _folder_partials, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for r, f, names in zip(
-            bt["repo"].to_pylist(), bt["folder"].to_pylist(), bt["names"].to_pylist()
-        ):
-            folder_sets[r].setdefault(f, set()).update(names)
+    # ---- folder analytics (F1-F6): the per-batch partial aggregation
+    # was launched concurrently with the classify shuffle above; here we
+    # just collect it. ----
+    folder_sets = f_folders.result()
+    pool.shutdown()
+    for l in labels:
+        folder_sets.setdefault(l, {})
 
     t_folder_agg = time.perf_counter()
     folder_comparisons, relationship_counts, safe_roots = folder_analysis(

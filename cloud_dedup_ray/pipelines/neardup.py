@@ -52,10 +52,12 @@ class NearDupResult:
 
 def _collect_edges_and_sizes(
     pair_rows: ray.data.Dataset,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Stream the pair/metrics rows to the driver: → (a, b, bucket_sizes)
-    with duplicate edges removed (different bands produce repeats)."""
-    a_parts, b_parts, size_parts = [], [], []
+) -> tuple[np.ndarray, np.ndarray, dict[int, int]]:
+    """Stream the pair/metrics rows to the driver: → (a, b, size_hist)
+    with duplicate edges removed (different bands produce repeats).
+    Histogram marker rows are (a = −1, b = count, bucket_size = size)."""
+    a_parts, b_parts = [], []
+    hist: dict[int, int] = {}
     for t in pair_rows.iter_batches(batch_format="pyarrow"):
         a = np.asarray(t["a"], np.int64)
         b = np.asarray(t["b"], np.int64)
@@ -63,16 +65,42 @@ def _collect_edges_and_sizes(
         marker = a == -1
         a_parts.append(a[~marker])
         b_parts.append(b[~marker])
-        size_parts.append(sz[marker])
+        for s, c in zip(sz[marker], b[marker]):
+            hist[int(s)] = hist.get(int(s), 0) + int(c)
     if not a_parts:
-        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.int64),)
+        return np.empty(0, np.int64), np.empty(0, np.int64), {}
     a = np.concatenate(a_parts)
     b = np.concatenate(b_parts)
-    sizes = np.concatenate(size_parts)
     if a.size:
         pairs = np.unique(np.stack([a, b], axis=1), axis=0)
         a, b = pairs[:, 0], pairs[:, 1]
-    return a, b, sizes
+    return a, b, hist
+
+
+def _hist_stats(hist: dict[int, int]) -> dict:
+    """Skew metrics from a bucket-size histogram: total buckets, max,
+    weighted p99, and the 10 largest bucket sizes (with multiplicity)."""
+    if not hist:
+        return {"lsh_buckets": 0, "lsh_bucket_max": 0, "lsh_bucket_p99": 0.0,
+                "lsh_top10_buckets": []}
+    sizes = np.fromiter(hist.keys(), np.int64, len(hist))
+    counts = np.fromiter((hist[int(s)] for s in sizes), np.int64, len(hist))
+    order = np.argsort(sizes)
+    sizes, counts = sizes[order], counts[order]
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    p99 = float(sizes[np.searchsorted(cum, 0.99 * total)])
+    top: list[int] = []
+    for s, c in zip(sizes[::-1], counts[::-1]):
+        top.extend([int(s)] * min(int(c), 10 - len(top)))
+        if len(top) >= 10:
+            break
+    return {
+        "lsh_buckets": total,
+        "lsh_bucket_max": int(sizes[-1]),
+        "lsh_bucket_p99": p99,
+        "lsh_top10_buckets": top,
+    }
 
 
 def _verify_edges(
@@ -227,69 +255,72 @@ def containment_edges(
     # normalize kernel runs only over docs that are members of some
     # candidate group.
 
-    anchors = signed.map_batches(
-        lambda t: pa.table(
-            {
-                "anchor": pa.array(
-                    [a for row in t["anchors"].to_pylist() for a in row],
-                    pa.int64(),
-                ),
-                "doc_id": pa.array(
-                    [
-                        d
-                        for d, row in zip(
-                            t["doc_id"].to_pylist(), t["anchors"].to_pylist()
-                        )
-                        for _ in row
-                    ],
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def _explode_anchors(t: pa.Table) -> pa.Table:
+        col = t["anchors"].combine_chunks()
+        flat = np.asarray(col.flatten(), np.int64)
+        lens = np.asarray(pa.compute.list_value_length(col), np.int64)
+        ids = np.repeat(np.asarray(t["doc_id"], np.int64), lens)
+        return pa.table({"anchor": flat, "doc_id": ids})
+
+    anchors = signed.map_batches(_explode_anchors, batch_format="pyarrow")
 
     # candidate groups: docs sharing an anchor (drop singleton anchors).
     # Coarse-partitioned: anchors are near-unique, so a per-anchor
     # map_groups would dominate on group overhead (stages/coarse.py).
+    # Cluster-representative pruning (``precomp``) happens INSIDE the
+    # group task with a broadcast sorted comp map, so the driver only
+    # receives pruned groups (boilerplate clusters collapse before any
+    # Python-object transfer).
     from cloud_dedup_ray.stages import coarse
+
+    if precomp:
+        pk = np.fromiter(precomp.keys(), np.int64, len(precomp))
+        pv = np.fromiter(precomp.values(), np.int64, len(precomp))
+        o = np.argsort(pk)
+        pre_ref = ray.put((pk[o], pv[o]))
+    else:
+        pre_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
 
     def _add_part(t: pa.Table) -> pa.Table:
         part = coarse.int_partition(np.asarray(t["anchor"], np.int64), 64)
         return t.append_column("__part", pa.array(part))
 
+    cap = cfg.bucket_pair_cap
+
     def _group_ids(t: pa.Table) -> pa.Table:
+        pk_s, pv_s = ray.get(pre_ref)
         anc = np.asarray(t["anchor"], np.int64)
         ids = np.asarray(t["doc_id"], np.int64)
         order = np.lexsort((ids, anc))
         out: list[list[int]] = []
         for sl in coarse.group_slices(order, anc[order]):
             members = np.unique(ids[order[sl]])
-            if 2 <= len(members) <= cfg.bucket_pair_cap:
+            if not (2 <= len(members) <= cap):
+                continue
+            if len(pk_s):
+                idx = np.searchsorted(pk_s, members).clip(0, len(pk_s) - 1)
+                hit = pk_s[idx] == members
+                clusters = np.where(hit, pv_s[idx], members)
+                # min doc per cluster (members ascending → first hit wins)
+                _, first = np.unique(clusters, return_index=True)
+                reps = np.sort(members[first])
+                if len(reps) < 2:
+                    continue
+                out.append(reps.tolist())
+            else:
                 out.append(members.tolist())
         return pa.table({"ids": pa.array(out, pa.list_(pa.int64()))})
 
     _group_ids.__name__ = "anchor_group"
-    groups = [
-        tuple(r["ids"])
-        for r in anchors.map_batches(_add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(_group_ids, batch_format="pyarrow")
-        .take_all()
-    ]
-    groups = sorted(set(groups))
-    if precomp:
-        pruned = []
-        for g in groups:
-            # one representative per existing cluster (longest not known
-            # yet — keep min doc id; containment within a cluster is moot)
-            reps: dict[int, int] = {}
-            for d in g:
-                c = precomp.get(d, d)
-                reps.setdefault(c, d)
-            if len(reps) >= 2:
-                pruned.append(tuple(sorted(reps.values())))
-        groups = sorted(set(pruned))
+    groups = sorted(
+        {
+            tuple(r["ids"])
+            for r in anchors.map_batches(_add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(_group_ids, batch_format="pyarrow")
+            .take_all()
+        }
+    )
     if not groups:
         return []
 
@@ -479,7 +510,7 @@ def cluster_corpus(
             resumed.append("lsh_buckets")
     else:
         pair_rows = _build_pairs()
-    edge_a, edge_b, sizes = _collect_edges_and_sizes(pair_rows)
+    edge_a, edge_b, size_hist = _collect_edges_and_sizes(pair_rows)
     verified, vmetrics = _verify_edges(edge_a, edge_b, signed, corpus, cfg)
     t_lsh = time.perf_counter()
 
@@ -511,8 +542,8 @@ def cluster_corpus(
 
     assignments = corpus.map_batches(_assign, batch_format="pyarrow")
 
-    # skew metrics: bucket-size histogram + top-k heaviest buckets
-    top = np.sort(sizes)[::-1][:10].tolist() if sizes.size else []
+    # skew metrics from the bucket-size histogram (shipped as ~tens of
+    # rows per partition, not one row per bucket)
     n_clusters = len(set(comp.values()))
     metrics = {
         **vmetrics,
@@ -520,10 +551,7 @@ def cluster_corpus(
         "n_containment_edges": len(cont_edges),
         "n_docs_clustered": len(comp),
         "n_clusters": n_clusters,
-        "lsh_buckets": int(sizes.size),
-        "lsh_bucket_max": int(sizes.max()) if sizes.size else 0,
-        "lsh_bucket_p99": float(np.percentile(sizes, 99)) if sizes.size else 0.0,
-        "lsh_top10_buckets": top,
+        **_hist_stats(size_hist),
         "sec_sign": round(t_sign - t0, 3),
         "sec_lsh_verify": round(t_lsh - t_sign, 3),
         "sec_containment": round(t_cont - t_lsh, 3),

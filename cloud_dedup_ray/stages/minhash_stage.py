@@ -116,8 +116,9 @@ def add_bucket_partition(num_partitions: int):
 def emit_bucket_pairs(cap: int):
     """map_groups body over ONE coarse partition holding many
     (band_id, band_hash) buckets → candidate edges (a, b), a < b, plus
-    one metrics row per bucket (a = b = -1, bucket_size = n) so skew
-    statistics come out of the same shuffle.
+    bucket-size HISTOGRAM rows (a = −1, b = count, bucket_size = size)
+    so skew statistics come out of the same shuffle without shipping
+    one metrics row per bucket to the driver (millions at scale).
 
     All buckets of the partition are delineated with one np.lexsort;
     Python touches only non-singleton buckets (rare).
@@ -157,17 +158,19 @@ def emit_bucket_pairs(cap: int):
             a_out.append(a)
             b_out.append(bb)
         n_pairs = sum(len(x) for x in a_out)
-        size_arr = np.asarray(sizes, np.int64)
+        size_vals, size_counts = np.unique(
+            np.asarray(sizes, np.int64), return_counts=True
+        )
         return pa.table(
             {
                 "a": np.concatenate(
-                    a_out + [np.full(len(size_arr), -1, np.int64)]
+                    a_out + [np.full(len(size_vals), -1, np.int64)]
                 ),
                 "b": np.concatenate(
-                    b_out + [np.full(len(size_arr), -1, np.int64)]
+                    b_out + [size_counts.astype(np.int64)]
                 ),
                 "bucket_size": np.concatenate(
-                    [np.zeros(n_pairs, np.int64), size_arr]
+                    [np.zeros(n_pairs, np.int64), size_vals]
                 ),
             }
         )

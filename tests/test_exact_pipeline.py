@@ -156,3 +156,42 @@ def test_result_dict_shape(results):
     ).split():
         assert k in d
     assert all("service_details" in g for g in d["duplicate_groups"])
+
+
+def test_multi_commit_same_path_deterministic_representative():
+    """A repo may hold several rows with the SAME path at different
+    commits; the representative must be the deterministic min by
+    (path, commit, sha, mtime) in both the pipeline and the oracle —
+    plain min-by-path ties and would depend on block arrival order."""
+    import pyarrow as pa
+
+    rows = []
+    # repoa: three commits of the same path, different content/mtime,
+    # deliberately listed in non-sorted commit order
+    for commit, content, mtime in (
+        ("c9", "AAAA", 50.0), ("c1", "BBBB", 10.0), ("c5", "AAAA", 99.0),
+    ):
+        rows.append(dict(repo="repoa", path="pkg/mod.py", commit=commit,
+                         lang="py", content=content, size=4, mtime=mtime,
+                         is_symlink=False, symlink_target=None))
+    rows.append(dict(repo="repob", path="pkg/mod.py", commit="c2",
+                     lang="py", content="BBBB", size=4, mtime=10.0,
+                     is_symlink=False, symlink_target=None))
+    table = pa.Table.from_pylist(rows)
+
+    from cloud_dedup_ray.config import DedupConfig
+    from cloud_dedup_ray.oracle.reference_oracle import analyze_oracle
+    from cloud_dedup_ray.pipelines.exact import analyze_corpus
+
+    want = analyze_oracle(rows)
+    # repoa's rep is commit c1 ("BBBB", mtime 10) → identical/same
+    assert len(want["duplicate_groups"]) == 1
+    g = want["duplicate_groups"][0]
+    assert (g["content_match"], g["version_status"]) == ("identical", "same")
+
+    for _ in range(2):  # determinism across runs
+        res = analyze_corpus(ray.data.from_arrow(table), DedupConfig())
+        dup = res.duplicate_groups.to_pandas()
+        assert len(dup) == 1 and len(res.conflict_groups.to_pandas()) == 0
+        assert dup.iloc[0].content_match == "identical"
+        assert dup.iloc[0].version_status == "same"
