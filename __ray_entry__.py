@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "emb_knn_bruteforce": S.emb_knn_bruteforce,
         "emb_knn_lsh": S.emb_knn_lsh,
+        "emb_knn_ivf": S.emb_knn_ivf,
         "emb_neardup_pairs": S.emb_neardup_pairs,
         # multimodal plumbing (stubbed decode kernel)
         "mm_image_features": image_features,

@@ -21,7 +21,44 @@ Library code never calls ``ray.init`` / ``ray.shutdown`` — the driver
 owns the Ray session (see ``__ray_entry__.py``).
 """
 
-from cloud_dedup_ray.config import DedupConfig
+def _stub_fsspec_http() -> None:
+    """Pre-resolve the ``fsspec.implementations.http`` lazy import that
+    Ray's ``read_parquet`` path-resolution performs on every call.
+
+    Without aiohttp installed the import always fails; a FAILED import
+    is never cached, so two driver threads calling ``read_parquet``
+    concurrently can race inside the module machinery — one thread sees
+    the partially-initialized module and gets a bare ``ImportError``
+    ("cannot import name 'HTTPFileSystem'"), which Ray's
+    ``except ModuleNotFoundError`` does NOT catch. Installing a benign
+    stub module once makes the import cached and race-free; the stub
+    class never matches a real filesystem instance, so
+    ``_is_http_filesystem`` keeps returning False exactly as before.
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except (ImportError, ModuleNotFoundError):
+        import sys
+        import types
+
+        try:
+            import fsspec.implementations as _impl
+        except Exception:
+            return
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only — never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        _impl.http = mod
+
+
+_stub_fsspec_http()
+
+from cloud_dedup_ray.config import DedupConfig  # noqa: E402
 
 __all__ = ["DedupConfig"]
 __version__ = "0.1.0"

@@ -112,6 +112,47 @@ def _group_table(groups: list[dict], labels: list[str]) -> str:
     return f"<table>{head}{''.join(rows)}</table>"
 
 
+def build_folder_tree(folder_comparisons: list[dict]) -> dict:
+    """Nested ``{name: {"_fc": row, "_children": {...}}}`` tree from the
+    flat path-keyed comparison rows; ``(root)`` children sit at the top
+    level (reference _build_folder_tree :736-757 semantics)."""
+    tree: dict = {}
+    for fc in sorted(folder_comparisons, key=lambda f: f["folder_path"]):
+        path = fc["folder_path"]
+        if path == "(root)":
+            node = tree.setdefault("(root)", {"_fc": None, "_children": {}})
+            node["_fc"] = fc
+            continue
+        children = tree
+        node = None
+        for seg in path.split("/"):
+            node = children.setdefault(seg, {"_fc": None, "_children": {}})
+            children = node["_children"]
+        node["_fc"] = fc
+    return tree
+
+
+def _render_folder_tree(folder_comparisons: list[dict]) -> str:
+    tree = build_folder_tree(folder_comparisons)
+
+    def render(nodes: dict) -> str:
+        items = []
+        for name, node in sorted(nodes.items()):
+            fc = node["_fc"]
+            label = _esc(name)
+            if fc:
+                label += (
+                    f" {_badge(fc.get('relationship', ''))}"
+                    f" <small>subtree: {_esc(fc.get('subtree_status', ''))},"
+                    f" {fc.get('subtree_total_files', 0)} files</small>"
+                )
+            child_html = render(node["_children"]) if node["_children"] else ""
+            items.append(f"<li>{label}{child_html}</li>")
+        return f"<ul>{''.join(items)}</ul>" if items else ""
+
+    return render(tree)
+
+
 def render_html(result: dict[str, Any]) -> str:
     """Five-section report mirroring the reference's layout
     (:823-1386; docs/report-format.md:38-113): 1 file counts, 2 pair
@@ -157,8 +198,11 @@ def render_html(result: dict[str, Any]) -> str:
             f"{result.get('all_services_count', 0):,}</p>"
         )
 
-    # §3 folder relationships + safe-to-delete roots
+    # §3 folder relationships + tree + safe-to-delete roots
     parts.append("<h2>3 · Folder relationships</h2>")
+    fcs = result.get("folder_comparisons", [])
+    if fcs:
+        parts.append(_render_folder_tree(fcs))
     rc = result.get("relationship_counts", {})
     if rc:
         parts.append("<table><tr><th>Relationship</th><th>Folders</th></tr>")

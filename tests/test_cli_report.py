@@ -119,3 +119,24 @@ def test_render_sections_and_pair_stats():
     txt = stdout_summary(result)
     assert "Duplicate groups : 1" in txt
     assert "1 file(s) require action" in txt
+
+
+def test_build_folder_tree_nesting():
+    from cloud_dedup_ray.report import _render_folder_tree, build_folder_tree
+
+    fcs = [
+        {"folder_path": "(root)", "relationship": "identical",
+         "subtree_status": "partial", "subtree_total_files": 9},
+        {"folder_path": "a", "relationship": "identical",
+         "subtree_status": "identical", "subtree_total_files": 4},
+        {"folder_path": "a/b", "relationship": "identical",
+         "subtree_status": "identical", "subtree_total_files": 2},
+        {"folder_path": "c", "relationship": "unique",
+         "subtree_status": "unique", "subtree_total_files": 3},
+    ]
+    tree = build_folder_tree(fcs)
+    assert set(tree) == {"(root)", "a", "c"}
+    assert set(tree["a"]["_children"]) == {"b"}
+    assert tree["a"]["_children"]["b"]["_fc"]["subtree_total_files"] == 2
+    html = _render_folder_tree(fcs)
+    assert "subtree: identical" in html and "<ul>" in html

@@ -265,3 +265,34 @@ def test_simhash_batch_matches_scalar():
     batch = simhash_tokens_batch(texts)
     for t, b in zip(texts, batch):
         assert int(b) == (simhash_tokens(t) if t else 0)
+
+
+def test_label_propagation_matches_union_find():
+    """The distributed min-label-propagation reducer must produce the
+    same components as the driver-side union-find on random graphs,
+    including a long chain (propagation depth) and a star."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloud_dedup_ray.state.union_find import (
+        UnionFind,
+        label_propagation_components,
+    )
+
+    rng = np.random.RandomState(11)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 120, (150, 2)) if a != b]
+    edges += [(1000 + i, 1001 + i) for i in range(12)]       # chain
+    edges += [(5000, 5000 + i) for i in range(1, 20)]        # star
+
+    uf = UnionFind()
+    uf.add_edges(edges)
+    want = uf.components()
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"a": pa.array([a for a, _ in edges], pa.int64()),
+             "b": pa.array([b for _, b in edges], pa.int64())}
+        )
+    )
+    got = label_propagation_components(ds, num_partitions=4)
+    assert got == want
