@@ -56,6 +56,30 @@ def _stub_fsspec_http() -> None:
         _impl.http = mod
 
 
+def _tune_malloc() -> None:
+    """Keep large allocations in the process heap instead of per-call
+    mmap/munmap.
+
+    glibc services allocations above MMAP_THRESHOLD (128 KiB) with a
+    fresh mmap and returns them to the OS on free. On this class of
+    lazily-backed VMs, first-touch page faults run at ~100 MB/s, so
+    every multi-hundred-MB numpy temporary (signature gathers, shuffle
+    buffers) pays the fault cost AGAIN on each allocation — measured
+    10–30× slowdowns with run-to-run variance. Raising the mmap and
+    trim thresholds makes the heap retain and reuse those pages: the
+    fault cost is paid once per process. No-op on non-glibc platforms.
+    """
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except (OSError, AttributeError):
+        pass
+
+
+_tune_malloc()
 _stub_fsspec_http()
 
 from cloud_dedup_ray.config import DedupConfig  # noqa: E402

@@ -127,6 +127,7 @@ def _verify_edges(
     """
     if len(a) == 0:
         return [], {"n_candidates": 0, "n_verified": 0, "n_exact_checked": 0}
+    t0 = time.perf_counter()
     cand_ids = np.unique(np.concatenate([a, b]))
     cand_ref = ray.put(cand_ids)
 
@@ -145,17 +146,28 @@ def _verify_edges(
         sig_parts.append(
             np.asarray(bt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
         )
+    t_fetch = time.perf_counter()
     all_ids = np.concatenate(id_parts)
     all_sigs = np.concatenate(sig_parts)
     order = np.argsort(all_ids)
-    all_ids, all_sigs = all_ids[order], all_sigs[order]
-    sa = all_sigs[np.searchsorted(all_ids, a)]
-    sb = all_sigs[np.searchsorted(all_ids, b)]
-    est = (sa == sb).mean(axis=1)
+    all_ids = all_ids[order]
+    all_sigs = np.take(all_sigs, order, axis=0)
+    # np.take, chunked: numpy's 2D fancy-indexing gather takes a slow
+    # element-wise path (~30× slower than take on this workload), and
+    # chunking bounds the (pairs × num_perm) temporaries.
+    est = np.empty(len(a), np.float64)
+    idx_a = np.searchsorted(all_ids, a)
+    idx_b = np.searchsorted(all_ids, b)
+    chunk = 1 << 17
+    for i in range(0, len(a), chunk):
+        sa = np.take(all_sigs, idx_a[i : i + chunk], axis=0)
+        sb = np.take(all_sigs, idx_b[i : i + chunk], axis=0)
+        est[i : i + chunk] = (sa == sb).mean(axis=1)
     margin = cfg.verify_margin
     accept = est >= cfg.jaccard_threshold + margin
     uncertain = (~accept) & (est >= cfg.jaccard_threshold - margin)
     verified = list(zip(a[accept].tolist(), b[accept].tolist()))
+    t_est = time.perf_counter()
     n_exact = int(uncertain.sum())
     if n_exact:
         exact_ok = _exact_jaccard_edges(
@@ -166,6 +178,9 @@ def _verify_edges(
         "n_candidates": len(a),
         "n_verified": len(verified),
         "n_exact_checked": n_exact,
+        "sec_verify_sig_fetch": round(t_fetch - t0, 3),
+        "sec_verify_estimate": round(t_est - t_fetch, 3),
+        "sec_verify_exact": round(time.perf_counter() - t_est, 3),
     }
 
 
@@ -234,6 +249,7 @@ def containment_edges(
     signed: ray.data.Dataset,
     cfg: DedupConfig,
     precomp: dict[int, int] | None = None,
+    metrics_out: dict | None = None,
 ) -> list[tuple[int, int]]:
     """Suffix-array containment pass: block docs on shared bottom-k
     shingle anchors, then verify exact substring containment per group
@@ -262,6 +278,8 @@ def containment_edges(
         ids = np.repeat(np.asarray(t["doc_id"], np.int64), lens)
         return pa.table({"anchor": flat, "doc_id": ids})
 
+    cont_metrics: dict = {}
+    t0 = time.perf_counter()
     anchors = signed.map_batches(_explode_anchors, batch_format="pyarrow")
 
     # candidate groups: docs sharing an anchor (drop singleton anchors).
@@ -321,12 +339,64 @@ def containment_edges(
             .take_all()
         }
     )
+    cont_metrics["n_groups"] = len(groups)
+    cont_metrics["sec_cont_groups"] = round(time.perf_counter() - t0, 3)
+    if metrics_out is not None:
+        metrics_out.update(cont_metrics)
     if not groups:
         return []
+    t0 = time.perf_counter()
 
-    # fetch normalized contents for group members only (semi-join
+    # ---- pair extraction + pruning --------------------------------------
+    # The same doc pair recurs in up to ``containment_anchors`` groups →
+    # dedup pairs globally. A contained pair with |A|/|B| ≥ τ has exact
+    # Jaccard |A|/|B| ≥ τ and is the LSH tier's responsibility (banding
+    # collision ≥ 0.9998 at τ with 32×4), so only pairs whose shingle
+    # counts differ by more than the threshold ratio are suffix-checked.
+    member_ids = np.fromiter(sorted({d for g in groups for d in g}), np.int64)
+    mem_ref = ray.put(member_ids)
+
+    def _len_filter(t: pa.Table) -> pa.Table:
+        wanted = ray.get(mem_ref)
+        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
+        return t.filter(pa.array(mask)).select(["doc_id", "n_shingles"])
+
+    nsh: dict[int, int] = {}
+    for bt in signed.map_batches(_len_filter, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, n in zip(bt["doc_id"].to_pylist(), bt["n_shingles"].to_pylist()):
+            nsh[d] = n
+
+    ratio_cap = cfg.jaccard_threshold
+    pair_set: set[tuple[int, int]] = set()
+    for g in groups:
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                x, y = g[i], g[j]
+                nx, ny = nsh.get(x, 0), nsh.get(y, 0)
+                if nx == 0 or ny == 0:
+                    continue
+                small, big = (x, y) if nx <= ny else (y, x)
+                if min(nx, ny) >= ratio_cap * max(nx, ny):
+                    continue  # ratio ⇒ J ≥ τ if contained ⇒ LSH's job
+                pair_set.add((small, big))
+    cont_metrics["n_cont_pairs"] = len(pair_set)
+    if not pair_set:
+        if metrics_out is not None:
+            metrics_out.update(cont_metrics)
+        return []
+    # group by big doc so each suffix array is built exactly once
+    by_big: dict[int, list[int]] = {}
+    for small, big in pair_set:
+        by_big.setdefault(big, []).append(small)
+    groups = [(big, tuple(sorted(smalls))) for big, smalls in sorted(by_big.items())]
+
+    # fetch normalized contents for pair members only (semi-join
     # broadcast of the needed-id array; filter first, THEN normalize)
-    needed = np.fromiter(sorted({d for g in groups for d in g}), np.int64)
+    needed = np.fromiter(
+        sorted({d for big, smalls in groups for d in (big, *smalls)}), np.int64
+    )
     need_ref = ray.put(needed)
 
     def _content_filter(t: pa.Table) -> pa.Table:
@@ -344,31 +414,32 @@ def containment_edges(
         for d, c in zip(bt["doc_id"].to_pylist(), bt["content_norm"].to_pylist()):
             texts[d] = c
 
-    # distribute group verification as CHUNKED ray tasks: one task per
-    # ~len(groups)/n_chunks groups so the (shared) docs dict is
-    # deserialized once per task, not once per candidate group.
+    # distribute verification as CHUNKED ray tasks over (big, smalls)
+    # work items: each big doc's suffix array is built EXACTLY once, the
+    # shared docs dict is deserialized once per task (not per pair).
     @ray.remote
     def _verify_chunk(
-        chunk: list[tuple[int, ...]], docs: dict[int, str]
+        chunk: list[tuple[int, tuple[int, ...]]], docs: dict[int, str]
     ) -> list[tuple[int, int]]:
         out = []
-        for ids in chunk:
-            members = sorted(ids, key=lambda d: -len(docs.get(d, "")))
-            arrays: dict[int, SuffixArray] = {}
-            for i, big in enumerate(members):
-                bt = docs.get(big, "")
-                if not bt:
+        for big, smalls in chunk:
+            bt = docs.get(big, "")
+            if not bt:
+                continue
+            sa = None
+            for small in smalls:
+                st = docs.get(small, "")
+                if not st or len(st) >= len(bt):
                     continue
-                for small in members[i + 1 :]:
-                    st = docs.get(small, "")
-                    if not st or len(st) >= len(bt):
-                        continue
-                    if big not in arrays:
-                        arrays[big] = SuffixArray(bt)
-                    if arrays[big].contains(st):
-                        out.append((min(big, small), max(big, small)))
+                if sa is None:
+                    sa = SuffixArray(bt)
+                if sa.contains(st):
+                    out.append((min(big, small), max(big, small)))
         return out
 
+    cont_metrics["n_docs_fetched"] = len(texts)
+    cont_metrics["sec_cont_fetch"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     docs_ref = ray.put(texts)
     n_chunks = min(64, len(groups))
     chunks = [groups[i::n_chunks] for i in range(n_chunks)]
@@ -376,6 +447,9 @@ def containment_edges(
     edges: list[tuple[int, int]] = []
     for res in ray.get(futures):
         edges.extend(res)
+    cont_metrics["sec_cont_verify"] = round(time.perf_counter() - t0, 3)
+    if metrics_out is not None:
+        metrics_out.update(cont_metrics)
     return sorted(set(edges))
 
 
@@ -517,9 +591,12 @@ def cluster_corpus(
     uf = UnionFind()
     uf.add_edges(verified)
 
+    cont_detail: dict = {}
     cont_edges: list[tuple[int, int]] = []
     if with_containment:
-        cont_edges = containment_edges(corpus, signed, cfg, uf.components())
+        cont_edges = containment_edges(
+            corpus, signed, cfg, uf.components(), metrics_out=cont_detail
+        )
         uf.add_edges(cont_edges)
     t_cont = time.perf_counter()
 
@@ -549,6 +626,7 @@ def cluster_corpus(
         **vmetrics,
         "resumed_stages": resumed,
         "n_containment_edges": len(cont_edges),
+        **cont_detail,
         "n_docs_clustered": len(comp),
         "n_clusters": n_clusters,
         **_hist_stats(size_hist),

@@ -77,8 +77,13 @@ class MinHashSigner:
 
 
 def explode_bands(batch: pa.Table) -> pa.Table:
-    """(doc_id, bands[list]) → one row per (band_id, band_hash, doc_id).
-    Skips empty docs (n_shingles == 0) — they never produce candidates."""
+    """(doc_id, bands[list]) → one row per (bucket_key, doc_id), where
+    ``bucket_key = splitmix64(band_hash ^ f(band_id))`` packs the
+    (band_id, band_hash) bucket identity into a single u64 — half the
+    shuffle width of two key columns. Cross-bucket key collisions
+    (~n_buckets²/2⁶⁴) would only merge two buckets into one candidate
+    pool, and every candidate pair is verified downstream, so packing is
+    safe. Skips empty docs (n_shingles == 0)."""
     num_bands = batch["bands"].type.list_size
     mask = np.asarray(batch["n_shingles"]) > 0
     doc_ids = np.asarray(batch["doc_id"])[mask]
@@ -86,28 +91,28 @@ def explode_bands(batch: pa.Table) -> pa.Table:
         batch["bands"].combine_chunks().flatten()
     ).reshape(-1, num_bands)[mask]
     n = len(doc_ids)
+    band_tweak = (
+        np.arange(num_bands, dtype=np.uint64) * np.uint64(0xD6E8FEB86659FD93)
+    )
+    keys = coarse.splitmix64(
+        bands.view(np.uint64) ^ band_tweak[None, :]
+    ).reshape(-1)
     return pa.table(
         {
-            "band_id": np.tile(np.arange(num_bands, dtype=np.int32), n),
-            "band_hash": bands.reshape(-1),
+            "bucket_key": keys.view(np.int64),
             "doc_id": np.repeat(doc_ids, num_bands),
         }
     )
 
 
 def add_bucket_partition(num_partitions: int):
-    """Vectorized ``__part = splitmix64(band_hash ^ f(band_id)) % P``
-    column so the LSH shuffle moves P fat partitions instead of one
-    Ray group per (band_id, band_hash) bucket (see stages/coarse.py)."""
+    """Vectorized ``__part = bucket_key % P`` column so the LSH shuffle
+    moves P fat partitions instead of one Ray group per bucket (see
+    stages/coarse.py); the key is already splitmix64-mixed."""
 
     def _add(t: pa.Table) -> pa.Table:
-        bh = np.asarray(t["band_hash"], np.int64).view(np.uint64)
-        bid = np.asarray(t["band_id"]).astype(np.uint64) * np.uint64(
-            0xD6E8FEB86659FD93
-        )
-        part = (coarse.splitmix64(bh ^ bid) % np.uint64(num_partitions)).astype(
-            np.int32
-        )
+        key = np.asarray(t["bucket_key"], np.int64).view(np.uint64)
+        part = (key % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("__part", pa.array(part))
 
     return _add
@@ -133,11 +138,10 @@ def emit_bucket_pairs(cap: int):
     """
 
     def _pairs(table: pa.Table) -> pa.Table:
-        bid = np.asarray(table["band_id"], np.int64)
-        bh = np.asarray(table["band_hash"], np.int64)
+        bk = np.asarray(table["bucket_key"], np.int64)
         ids = np.asarray(table["doc_id"], np.int64)
-        order = np.lexsort((ids, bh, bid))
-        keys = np.stack([bid[order], bh[order]], axis=1)
+        order = np.lexsort((ids, bk))
+        keys = bk[order]
         a_out, b_out = [], []
         sizes = []
         for sl in coarse.group_slices(order, keys):
