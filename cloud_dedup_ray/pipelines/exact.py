@@ -480,7 +480,7 @@ def analyze_corpus(
         ).to_pandas()
         rows = []
         for repo, g in df.groupby("repo", sort=False):
-            matched = sum(pl in sets.get(repo, ()) for pl in g["path_lower"])
+            matched = int(g["path_lower"].isin(sets.get(repo, ())).sum())
             rows.append({"repo": repo, "total": len(g), "matched": matched})
         return pa.Table.from_pylist(
             rows,

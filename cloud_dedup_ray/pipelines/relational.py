@@ -74,26 +74,35 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """customer ⋈ orders ⋈ lineitem, BUILDING segment, top-10 revenue.
     customer keys broadcast; lineitem pre-aggregated per order key."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    building = np.sort(
+        cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"].to_numpy()
+    )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     b_ref = ray.put(building)
 
     def filt_orders(t: pa.Table) -> pa.Table:
         keys = ray.get(b_ref)
-        mask = pa.array([k in keys for k in t["o_custkey"].to_pylist()])
-        return t.filter(mask).select(["o_orderkey"])
+        mask = np.isin(np.asarray(t["o_custkey"], np.int64), keys)
+        return t.filter(pa.array(mask)).select(["o_orderkey"])
 
-    ok = {
-        r["o_orderkey"]
-        for r in orders.map_batches(filt_orders, batch_format="pyarrow").take_all()
-    }
+    ok = np.sort(
+        np.concatenate(
+            [
+                np.asarray(bt["o_orderkey"], np.int64)
+                for bt in orders.map_batches(
+                    filt_orders, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
     ok_ref = ray.put(ok)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
         keys = ray.get(ok_ref)
-        mask = pa.array([k in keys for k in t["l_orderkey"].to_pylist()])
-        t = t.filter(mask)
+        mask = np.isin(np.asarray(t["l_orderkey"], np.int64), keys)
+        t = t.filter(pa.array(mask))
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
@@ -183,17 +192,22 @@ def nations_per_region(sf_dir: str) -> pd.DataFrame:
 
 
 def customer_balance_by_nation(sf_dir: str) -> pd.DataFrame:
-    nation = {
-        r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()
-    }
-    n_ref = ray.put(nation)
+    """Broadcast dimension join, vectorized: the 25-row nation table is
+    shipped as sorted (key, name) arrays; the fact scan maps keys with
+    one searchsorted per batch — no per-row Python."""
+    rows = _read(sf_dir, "nation").take_all()
+    nk = np.array([r["n_nationkey"] for r in rows], np.int64)
+    nn = np.array([r["n_name"] for r in rows])
+    order = np.argsort(nk)
+    n_ref = ray.put((nk[order], nn[order]))
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(n_ref)
+        keys, names = ray.get(n_ref)
+        idx = np.searchsorted(keys, np.asarray(t["c_nationkey"], np.int64))
         return pa.table(
             {
-                "n_name": [m[k] for k in t["c_nationkey"].to_pylist()],
+                "n_name": pa.array(names[idx]),
                 "c_acctbal": t["c_acctbal"],
             }
         )
