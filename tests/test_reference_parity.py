@@ -249,3 +249,56 @@ def test_folder_comparisons_match_reference(scenario):
     assert sorted(f["folder_path"] for f in mine.safe_to_delete_roots) == sorted(
         f["folder_path"] for f in ref_result["safe_to_delete_roots"]
     )
+
+
+def test_no_checksum_parity(tmp_path_factory):
+    """--no-checksum: matches become 'unverified', phantom undetectable
+    (reference :254-255) — outputs must agree with the real reference."""
+    tmp = tmp_path_factory.mktemp("parity_nc")
+    services = {
+        "A": ([("a/f.txt", b"abc", 1000.0), ("p/x.bin", b"XX1", 1000.0)], []),
+        "B": ([("a/f.txt", b"abc", 1001.0), ("p/x.bin", b"XX2", 1000.0)], []),
+    }
+    ref_result, mine = run_both(tmp, services, use_checksum=False)
+    assert _ref_groups(ref_result["duplicate_groups"]) == _my_groups(
+        mine.duplicate_groups
+    )
+    assert len(ref_result["conflict_groups"]) == 0
+    assert mine.conflict_groups.count() == 0
+    cms = {g["content_match"] for g in ref_result["duplicate_groups"]}
+    assert cms == {"unverified"}
+
+
+def test_mtime_fuzz_parity(tmp_path_factory):
+    """Custom --mtime-fuzz flips same↔diverged identically on both
+    sides (reference :248, :1405)."""
+    tmp = tmp_path_factory.mktemp("parity_fz")
+    services = {
+        "A": ([("a/f.txt", b"abc", 1000.0)], []),
+        "B": ([("a/f.txt", b"abc", 1030.0)], []),  # 30 s apart
+    }
+    for fuzz, want_vs in ((5.0, "diverged"), (60.0, "same")):
+        ref_result, mine = run_both(tmp, services, mtime_fuzz=fuzz)
+        got_ref = ref_result["duplicate_groups"][0]["version_status"]
+        got_mine = mine.duplicate_groups.to_pandas().iloc[0].version_status
+        assert got_ref == got_mine == want_vs
+        import shutil
+        for label in ("A", "B"):
+            shutil.rmtree(tmp / label, ignore_errors=True)
+
+
+def test_include_hidden_parity(tmp_path_factory):
+    """--include-hidden keeps dot-files; .DS_Store stays excluded either
+    way (reference :144-149)."""
+    tmp = tmp_path_factory.mktemp("parity_h")
+    services = {
+        "A": ([(".hid/s.txt", b"s", 1000.0), ("v.txt", b"v", 1000.0),
+               (".DS_Store", b"junk", 1000.0)], []),
+        "B": ([(".hid/s.txt", b"s", 1000.0), ("v.txt", b"v", 1000.0)], []),
+    }
+    ref_result, mine = run_both(tmp, services, skip_hidden=False)
+    assert ref_result["total_files"] == mine.total_files == {"A": 2, "B": 2}
+    assert _ref_groups(ref_result["duplicate_groups"]) == _my_groups(
+        mine.duplicate_groups
+    )
+    assert len(ref_result["duplicate_groups"]) == 2  # .hid/s.txt + v.txt
