@@ -311,7 +311,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM numbered GROUP BY 1, 2
             )
             SELECT user_id, count(*) AS n_sessions,
-                   max(cnt) AS max_session_events, sum(cnt) AS n_events
+                   max(cnt) AS max_session_events,
+                   CAST(sum(cnt) AS BIGINT) AS n_events
             FROM sess GROUP BY user_id
         """,
         "distinct_part_types": """

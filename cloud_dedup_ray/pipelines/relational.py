@@ -326,8 +326,13 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].sort_values().to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[s]").astype(np.int64)
-        new_session = np.concatenate([[True], gaps > gap_minutes * 60])
+        # Compare gaps at native precision: truncating to whole seconds
+        # would misclassify a gap in (1800s, 1801s) as same-session while
+        # an exact INTERVAL comparison (the oracle) calls it a new session.
+        gaps = np.diff(ts)
+        new_session = np.concatenate(
+            [[True], gaps > np.timedelta64(gap_minutes * 60, "s")]
+        )
         sess_ids = np.cumsum(new_session)
         sizes = np.bincount(sess_ids)[1:]
         return pd.DataFrame(
