@@ -48,8 +48,16 @@ def _stub_fsspec_http() -> None:
 
         mod = types.ModuleType("fsspec.implementations.http")
 
-        class HTTPFileSystem:  # sentinel only — never instantiated
-            pass
+        class HTTPFileSystem:
+            """Sentinel installed by cloud_dedup_ray (aiohttp absent)."""
+
+            def __init__(self, *a, **kw):
+                raise ImportError(
+                    "fsspec's real HTTPFileSystem requires aiohttp, which "
+                    "is not installed; this stub module was installed by "
+                    "cloud_dedup_ray to make the failed import cached and "
+                    "race-free (set CLOUD_DEDUP_RAY_NO_TWEAKS=1 to disable)."
+                )
 
         mod.HTTPFileSystem = HTTPFileSystem
         sys.modules["fsspec.implementations.http"] = mod
@@ -79,8 +87,16 @@ def _tune_malloc() -> None:
         pass
 
 
-_tune_malloc()
-_stub_fsspec_http()
+# Both tweaks must run in EVERY process that uses the library — Ray
+# workers import this package when unpickling stage callables, and the
+# malloc tuning is exactly where the numpy temporaries live — so they
+# are applied at import, with an env-var escape hatch for co-resident
+# code that doesn't want process-global side effects.
+import os as _os  # noqa: E402
+
+if _os.environ.get("CLOUD_DEDUP_RAY_NO_TWEAKS") != "1":
+    _tune_malloc()
+    _stub_fsspec_http()
 
 from cloud_dedup_ray.config import DedupConfig  # noqa: E402
 

@@ -88,8 +88,11 @@ def _df_first_per_repo(g) -> dict[str, Rec]:
     min by (path, commit, sha, mtime) — ``Rec.rep_key`` — replacing the
     reference's walk-order ``hits[0]``. Plain min-by-path is ambiguous
     for corpora holding several commits of one path per repo."""
-    g = g.sort_values(
-        ["path", "commit", "content_sha256", "mtime"], na_position="last"
+    # Rec.rep_key maps a missing hash to '' which sorts FIRST — fill
+    # before sorting so the pipeline picks the same representative as
+    # the oracle when rows tie on (path, commit) with mixed hashes.
+    g = g.assign(content_sha256=g["content_sha256"].fillna("")).sort_values(
+        ["path", "commit", "content_sha256", "mtime"]
     ).drop_duplicates("repo", keep="first")
     out: dict[str, Rec] = {}
     for row in g.itertuples(index=False):
@@ -110,7 +113,7 @@ def _df_first_per_repo(g) -> dict[str, Rec]:
             ),
             content_hash=(
                 None
-                if row.content_sha256 is None
+                if not row.content_sha256
                 or (isinstance(row.content_sha256, float))
                 else row.content_sha256
             ),

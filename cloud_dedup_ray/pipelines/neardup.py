@@ -19,6 +19,8 @@ magnitude smaller than the corpus. The 10^12-scale upgrade path
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -501,8 +503,16 @@ def cluster_corpus_resumable(
     part_metrics: list[dict] = []
     for i, g in enumerate(groups):
         stage = f"sig_part_{i:04d}"
+        # Scope ties the checkpoint to this partition's exact file slice:
+        # adding/removing corpus files or changing num_partitions shifts
+        # the file→partition mapping and must invalidate stale parts.
+        scope = hashlib.sha256(
+            json.dumps({"n_parts": n_parts, "files": g}).encode()
+        ).hexdigest()[:16]
         tp = time.perf_counter()
-        ds_part, was = ckpt.run(stage, lambda g=g: sign_dataset(_prep(g), cfg))
+        ds_part, was = ckpt.run(
+            stage, lambda g=g: sign_dataset(_prep(g), cfg), scope=scope
+        )
         n_rows = ds_part.count()
         dt = time.perf_counter() - tp
         part_metrics.append(

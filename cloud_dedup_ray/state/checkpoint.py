@@ -9,11 +9,14 @@ Layout::
     <root>/<stage>/_lineage.json            (fingerprint + row count)
 
 A stage is "complete" iff ``_lineage.json`` exists AND its fingerprint
-(input path + config hash + stage name) matches — a config change or a
-different input invalidates the checkpoint instead of silently reusing
-it. Writes are atomic: data lands in ``data.tmp`` and is renamed before
-the lineage marker is written, so a kill mid-write never yields a
-half-checkpoint that passes validation.
+(config hash + stage name) matches AND its per-stage ``scope`` matches.
+The scope carries the exact input slice the stage was built from (e.g.
+the partition's sorted file list + the partition count), so re-running
+after corpus files were added/removed or ``num_partitions`` changed
+invalidates every shifted partition instead of silently reusing stale
+signatures for the wrong file subset. Writes are atomic: data lands in
+``data.tmp`` and is renamed before the lineage marker is written, so a
+kill mid-write never yields a half-checkpoint that passes validation.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ class StageCheckpoint:
     def _lineage_path(self, stage: str) -> str:
         return os.path.join(self._stage_dir(stage), "_lineage.json")
 
-    def complete(self, stage: str) -> bool:
+    def complete(self, stage: str, scope: str = "") -> bool:
         path = self._lineage_path(stage)
         if not os.path.exists(path):
             return False
@@ -47,12 +50,17 @@ class StageCheckpoint:
                 meta = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
-        return meta.get("fingerprint") == self.fingerprint
+        return (
+            meta.get("fingerprint") == self.fingerprint
+            and meta.get("scope", "") == scope
+        )
 
     def load(self, stage: str) -> ray.data.Dataset:
         return ray.data.read_parquet(os.path.join(self._stage_dir(stage), "data"))
 
-    def save(self, stage: str, ds: ray.data.Dataset) -> ray.data.Dataset:
+    def save(
+        self, stage: str, ds: ray.data.Dataset, scope: str = ""
+    ) -> ray.data.Dataset:
         """Write ``ds`` then the lineage marker; returns a re-read
         Dataset so downstream stages consume the checkpoint (and the
         original lineage can be released)."""
@@ -71,6 +79,7 @@ class StageCheckpoint:
                 {
                     "fingerprint": self.fingerprint,
                     "stage": stage,
+                    "scope": scope,
                     "n_files": n_files,
                     "written_at": time.time(),
                 },
@@ -78,9 +87,11 @@ class StageCheckpoint:
             )
         return self.load(stage)
 
-    def run(self, stage: str, build) -> tuple[ray.data.Dataset, bool]:
+    def run(
+        self, stage: str, build, scope: str = ""
+    ) -> tuple[ray.data.Dataset, bool]:
         """→ (dataset, was_resumed). ``build`` is a thunk producing the
         stage Dataset; skipped entirely when the checkpoint is valid."""
-        if self.complete(stage):
+        if self.complete(stage, scope):
             return self.load(stage), True
-        return self.save(stage, build()), False
+        return self.save(stage, build(), scope), False

@@ -121,3 +121,34 @@ def test_per_partition_resume(tmp_path, monkeypatch):
         True, True, False, True,
     ]
     assert _assign(r2) == a1
+
+
+def test_partition_checkpoints_invalidated_by_file_set_change(tmp_path):
+    """Changing the corpus file set or num_partitions shifts the
+    file→partition mapping; stale sig_part_* checkpoints must NOT be
+    reused for the wrong file subset (their lineage scope records the
+    exact file slice)."""
+    import glob
+    import shutil
+
+    from cloud_dedup_ray.datagen import write_corpus
+    from cloud_dedup_ray.pipelines.neardup import cluster_corpus_resumable
+
+    cdir = write_corpus(str(tmp_path / "corpus"), seed=9, n_files=80,
+                        n_repos=2, n_shards=6)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    cluster_corpus_resumable(cdir, cfg, num_partitions=3,
+                             with_containment=False)
+
+    # different partition count → every mapping shifts → full re-sign
+    shutil.rmtree(tmp_path / "ck" / "lsh_buckets")
+    r2 = cluster_corpus_resumable(cdir, cfg, num_partitions=2,
+                                  with_containment=False)
+    assert [p["resumed"] for p in r2.metrics["partitions"]] == [False, False]
+
+    # removing one corpus shard shifts the slices → no stale reuse
+    os.remove(sorted(glob.glob(os.path.join(cdir, "*.parquet")))[0])
+    shutil.rmtree(tmp_path / "ck" / "lsh_buckets")
+    r3 = cluster_corpus_resumable(cdir, cfg, num_partitions=2,
+                                  with_containment=False)
+    assert [p["resumed"] for p in r3.metrics["partitions"]] == [False, False]
