@@ -44,6 +44,34 @@ def char_ngrams(text: str, n: int) -> set[str]:
     return {text[i : i + n] for i in range(len(text) - n + 1)}
 
 
+def char_ngrams_hashed(text: str, n: int) -> np.ndarray:
+    """Distinct character n-grams hashed to uint64 (sorted unique array):
+    a rolling polynomial over the codepoints, splitmix-finalized. Same
+    gram semantics as :func:`char_ngrams` (a text shorter than ``n`` is
+    one gram of itself), so Jaccard over these arrays equals Jaccard over
+    the string sets up to negligible 64-bit collisions — which lets the
+    distributed pair pipeline verify candidates without materializing
+    gram strings."""
+    if not text:
+        return np.empty(0, np.uint64)
+    cps = np.frombuffer(text.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    k = min(n, len(cps))
+    n_win = len(cps) - k + 1
+    acc = np.zeros(n_win, np.uint64)
+    p = 1
+    for j in range(k - 1, -1, -1):
+        acc += cps[j : j + n_win] * np.uint64(p)
+        p = (p * int(_SHINGLE_BASE)) & 0xFFFFFFFFFFFFFFFF
+    # splitmix64 finalizer: decorrelate the structured polynomial values
+    # before they feed MinHash permutations / LSH band keys
+    acc ^= acc >> np.uint64(30)
+    acc *= np.uint64(0xBF58476D1CE4E5B9)
+    acc ^= acc >> np.uint64(27)
+    acc *= np.uint64(0x94D049BB133111EB)
+    acc ^= acc >> np.uint64(31)
+    return np.unique(acc)
+
+
 _SHINGLE_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
 

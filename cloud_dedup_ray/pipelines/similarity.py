@@ -9,10 +9,9 @@
   sign-pattern buckets shrink the candidate set; exact re-rank inside
   the union of the query's buckets. Recall measured against brute force
   in tests.
-* ``emb_neardup_pairs`` — embedding-cosine near-dup pairs ≥ threshold
-  via blocked matmul (candidate generation at scale would reuse the
-  LSH buckets; at testdata scale the full blocked product is exact and
-  cheap).
+* ``emb_neardup_pairs`` — embedding-cosine near-dup pairs ≥ threshold,
+  exact: LSH-sorted blocks in the object store, bounding-cone pruning
+  of block pairs, one bounded-memory matmul task per surviving pair.
 """
 
 from __future__ import annotations
@@ -154,39 +153,124 @@ def emb_knn_lsh(
     return out.reset_index(drop=True)
 
 
-def emb_neardup_pairs(sf_dir: str, threshold: float = 0.38) -> pd.DataFrame:
-    """All pairs with cosine ≥ threshold via blocked matmul: the full
-    (normalized) matrix is broadcast once; each batch multiplies its
-    slice against it (O(n²/B) work per task, no Python loops)."""
-    ds = _emb(sf_dir)
-    mats = [
-        _batch_matrix(t) for t in ds.iter_batches(batch_format="pyarrow")
-    ]
-    all_ids = np.concatenate([i for i, _ in mats])
-    full = _normalize_rows(np.concatenate([m for _, m in mats]))
-    full_ref = ray.put((all_ids, full))
+@ray.remote
+def _block_cone(t: pa.Table) -> tuple[np.ndarray, float]:
+    """Per-block angular summary: the mean direction of the block's
+    normalized vectors and the max angle (radians) of any member to it —
+    a bounding cone for exact block-pair pruning."""
+    _, m = _batch_matrix(t)
+    mn = _normalize_rows(m)
+    c = mn.mean(axis=0)
+    norm = np.linalg.norm(c)
+    c = c / norm if norm > 0 else c
+    cos_to_c = np.clip(mn @ c, -1.0, 1.0)
+    return c, float(np.arccos(cos_to_c.min()))
 
-    def block_pairs(t: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(full_ref)
-        ids, m = _batch_matrix(t)
-        sims = _normalize_rows(m) @ m_all.T
-        ii, jj = np.nonzero(sims >= threshold)
-        a, b = ids[ii], ids_all[jj]
-        keep = a < b
-        return pa.table(
+
+@ray.remote
+def _block_pair_sims(
+    ta: pa.Table, tb: pa.Table, same: bool, threshold: float
+) -> pa.Table:
+    """Exact cosine pairs ≥ threshold between two blocks (one matmul;
+    triu when the blocks coincide). Per-task memory = 2 blocks × dim,
+    independent of corpus size."""
+    ids_a, ma = _batch_matrix(ta)
+    ids_b, mb = _batch_matrix(tb)
+    sims = _normalize_rows(ma) @ _normalize_rows(mb).T
+    if same:
+        sims = np.triu(sims, k=1)
+    ii, jj = np.nonzero(sims >= threshold)
+    a, b = ids_a[ii], ids_b[jj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo < hi
+    return pa.table(
+        {
+            "vec_a": lo[keep],
+            "vec_b": hi[keep],
+            "cos_sim": np.round(sims[ii, jj][keep], 4),
+        }
+    )
+
+
+def emb_neardup_pairs(
+    sf_dir: str,
+    threshold: float = 0.38,
+    block_rows: int = 4096,
+    n_planes: int = 12,
+    metrics_out: dict | None = None,
+) -> pd.DataFrame:
+    """All pairs with cosine ≥ threshold — EXACT (recall 1.0 by
+    construction, so the DuckDB oracle hash-matches) with memory
+    independent of corpus size everywhere:
+
+    1. Sign every vector with one hyperplane-LSH bucket key and SORT the
+       dataset by it (a distributed shuffle) — vectors in the same
+       orthant cone become block-neighbors, so blocks are angularly
+       coherent.
+    2. Blocks stay in the object store (``to_arrow_refs``); the driver
+       holds only references. A tiny task per block computes its
+       bounding cone (mean direction + max member angle).
+    3. Block-pair pruning, exact: the best possible cosine between
+       blocks i and j is cos(max(0, θ(cᵢ,cⱼ) − rᵢ − rⱼ)); pairs whose
+       bound is below threshold are skipped without reading the blocks.
+       The LSH sort is what gives the cones pruning power — unsorted
+       blocks have radius ≈ π/2 and nothing prunes.
+    4. Surviving block pairs each run one matmul task reading exactly
+       two blocks zero-copy.
+
+    The O(n²) worst case is inherent to exact all-pairs output; this
+    distributes it as bounded-memory tasks and prunes the angularly
+    impossible quadrant of the work. The approximate scale path (top-k
+    per query) is ``emb_knn_lsh`` / ``emb_knn_ivf``."""
+    ds = _emb(sf_dir)
+    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = len(first["embedding"][0].as_py())
+    signer_ref = ray.put(HyperplaneLSH(dim, n_planes, seed=7))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = ray.get(signer_ref)
+        _, m = _batch_matrix(t)
+        return t.append_column("__bucket", pa.array(s.bucket(m)))
+
+    sorted_ds = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .sort("__bucket")
+        .map_batches(lambda t: t.drop_columns("__bucket"),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    # order-preserving split into ~block_rows blocks (repartition without
+    # shuffle only splits/coalesces, so the LSH-sorted locality survives)
+    num_blocks = max(1, -(-sorted_ds.count() // block_rows))
+    refs = sorted_ds.repartition(num_blocks).to_arrow_refs()
+    cones = ray.get([_block_cone.remote(r) for r in refs])
+    n = len(refs)
+    centroids = np.stack([c for c, _ in cones]) if n else np.zeros((0, dim))
+    radii = np.array([r for _, r in cones])
+    # pairwise min-possible angle between block cones, vectorized
+    theta = np.arccos(np.clip(centroids @ centroids.T, -1.0, 1.0))
+    best_cos = np.cos(np.maximum(0.0, theta - radii[:, None] - radii[None, :]))
+    ii, jj = np.triu_indices(n)
+    live = best_cos[ii, jj] >= threshold
+    futures = [
+        _block_pair_sims.remote(refs[i], refs[j], i == j, threshold)
+        for i, j in zip(ii[live], jj[live])
+    ]
+    if metrics_out is not None:
+        metrics_out.update(
             {
-                "vec_a": a[keep],
-                "vec_b": b[keep],
-                "cos_sim": np.round(sims[ii, jj][keep], 4),
+                "n_blocks": n,
+                "n_block_pairs_total": len(ii),
+                "n_block_pairs_pruned": int((~live).sum()),
             }
         )
-
-    out = ds.map_batches(block_pairs, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        out = pd.DataFrame(
+    parts = [t for t in ray.get(futures) if t.num_rows]
+    if not parts:
+        return pd.DataFrame(
             {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
              "cos_sim": pd.Series(dtype="float64")}
         )
+    out = pa.concat_tables(parts).to_pandas()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 

@@ -25,7 +25,6 @@ from cloud_dedup_ray.functions.simhash import (
     simhash_tokens_batch,
 )
 from cloud_dedup_ray.functions.text import (
-    char_ngrams,
     fingerprint64,
     lang_id,
     normalize,
@@ -266,37 +265,156 @@ def docs_simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     )
 
 
+class _NGramSigner:
+    """Actor-pool stage: (doc_id, text) batch → (doc_id, n_shingles,
+    bands). Hashes char n-grams once per doc and MinHash-signs them; the
+    output schema matches the token-shingle signer so the LSH band
+    explode/partition/pair stages are reused verbatim."""
+
+    def __init__(self, n: int, num_perm: int, num_bands: int, seed: int):
+        from cloud_dedup_ray.functions.minhash import make_hasher
+
+        self.n = n
+        self.num_bands = num_bands
+        self.hasher = make_hasher("oph", num_perm, seed)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from cloud_dedup_ray.functions.minhash import band_hashes
+        from cloud_dedup_ray.functions.text import char_ngrams_hashed
+
+        texts = normalize(t["text"]).to_pylist()
+        gram_sets = [char_ngrams_hashed(x or "", self.n) for x in texts]
+        n_grams = np.fromiter((g.size for g in gram_sets), np.int64, len(gram_sets))
+        sigs = self.hasher.signatures(gram_sets)
+        bands = band_hashes(sigs, self.num_bands)
+        band_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(bands.reshape(-1)), self.num_bands
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": pa.array(n_grams),
+                "bands": band_col,
+            }
+        )
+
+
 def docs_ngram_jaccard_pairs(
-    sf_dir: str, n: int = 5, threshold: float = 0.75
+    sf_dir: str,
+    n: int = 5,
+    threshold: float = 0.75,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    bucket_cap: int = 1024,
 ) -> pd.DataFrame:
-    """Character-n-gram Jaccard near-dup pairs. Candidate blocking via
-    MinHash-LSH (reuses the signer at n-gram granularity is overkill at
-    doc counts here; we block on doc-length buckets — |J ≥ τ| implies a
-    length ratio bound — then verify exactly, vectorized per pair)."""
+    """Character-n-gram Jaccard near-dup pairs, fully distributed:
+    MinHash-LSH over hashed char n-grams generates candidates (signer
+    actor pool → band explode → coarse-partitioned bucket groupby, the
+    same path as the token-shingle tier), then every candidate pair is
+    verified with EXACT gram-set Jaccard in chunked Ray tasks — no
+    driver-side O(n²) loop and no whole-corpus materialization; the
+    driver holds only the candidate edge list (≪ corpus).
+
+    Recall: r = num_perm/num_bands = 4 rows/band → a J = 0.75 pair is
+    missed with probability (1−0.75⁴)³² ≈ 5·10⁻⁶. Precision is exact
+    (every emitted pair is verified). Buckets above ``bucket_cap`` emit
+    chain+star edges (skew guard) — that under-enumerates *pairs* for
+    mega-buckets, so the cap is set well above the dedup tier's; a
+    corpus where thousands of docs share a bucket genuinely has O(b²)
+    qualifying pairs and that output volume is the query's semantics."""
+    from cloud_dedup_ray.stages.minhash_stage import (
+        add_bucket_partition,
+        emit_bucket_pairs,
+        explode_bands,
+    )
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-    rows = ds.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"], "norm": normalize(t["text"])}
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    grams = {r["doc_id"]: char_ngrams(r["norm"], n) for r in rows}
-    ids = sorted(grams, key=lambda d: len(grams[d]))
-    out = []
-    for i, a in enumerate(ids):
-        ga = grams[a]
-        if not ga:
-            continue
-        for b in ids[i + 1 :]:
-            gb = grams[b]
-            if len(ga) < threshold * len(gb):
-                break
-            inter = len(ga & gb)
-            j = inter / (len(ga) + len(gb) - inter)
-            if j >= threshold:
-                out.append((min(a, b), max(a, b), round(j, 6)))
+    cand = (
+        ds.map_batches(
+            _NGramSigner,
+            fn_constructor_kwargs={
+                "n": n, "num_perm": num_perm, "num_bands": num_bands, "seed": 42,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        .map_batches(explode_bands, batch_format="pyarrow")
+        .map_batches(add_bucket_partition(32), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit_bucket_pairs(bucket_cap), batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand[cand["a"] >= 0]  # drop bucket-size histogram rows
+    pairs = list(
+        cand[["a", "b"]].drop_duplicates().itertuples(index=False, name=None)
+    )
+    out = _exact_ngram_jaccard(ds, pairs, n, threshold)
     return (
         pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+def _exact_ngram_jaccard(
+    docs: ray.data.Dataset,
+    pairs: list[tuple[int, int]],
+    n: int,
+    threshold: float,
+) -> list[tuple[int, int, float]]:
+    """Exact char-n-gram Jaccard for candidate pairs: semi-join the
+    involved docs' normalized text out of the Dataset (broadcast id
+    filter — candidates ≪ corpus), then score pair chunks in Ray tasks,
+    hashing each doc's grams once per task."""
+    if not pairs:
+        return []
+    from cloud_dedup_ray.functions.text import char_ngrams_hashed
+
+    needed = np.unique(np.asarray([d for p in pairs for d in p], np.int64))
+    need_ref = ray.put(needed)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(mask)),
+                "norm": normalize(t["text"].filter(pa.array(mask))),
+            }
+        )
+
+    texts: dict[int, str] = {}
+    for bt in docs.map_batches(_filter, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, c in zip(bt["doc_id"].to_pylist(), bt["norm"].to_pylist()):
+            texts[d] = c or ""
+
+    @ray.remote
+    def _score(chunk, docs_map):
+        grams: dict[int, np.ndarray] = {}
+        out = []
+        for x, y in chunk:
+            for d in (x, y):
+                if d not in grams:
+                    grams[d] = char_ngrams_hashed(docs_map.get(d, ""), n)
+            gx, gy = grams[x], grams[y]
+            if not gx.size or not gy.size:
+                continue
+            inter = np.intersect1d(gx, gy, assume_unique=True).size
+            j = inter / (gx.size + gy.size - inter)
+            if j >= threshold:
+                out.append((min(x, y), max(x, y), round(j, 6)))
+        return out
+
+    docs_ref = ray.put(texts)
+    chunk_size = max(64, len(pairs) // 32)
+    futures = [
+        _score.remote(pairs[i : i + chunk_size], docs_ref)
+        for i in range(0, len(pairs), chunk_size)
+    ]
+    out: list[tuple[int, int, float]] = []
+    for res in ray.get(futures):
+        out.extend(res)
+    return out

@@ -180,3 +180,37 @@ def test_simhash_pairs_complete_vs_bruteforce():
             truth.add((min(a, b), max(a, b)))
     got = set(zip(df.doc_a, df.doc_b))
     assert got == truth
+
+
+def test_ngram_jaccard_pairs_match_bruteforce():
+    """The distributed pipeline (char-n-gram MinHash-LSH blocking +
+    exact chunked verify) must emit exactly the brute-force pair set
+    WITH identical jaccard values — hashed-gram Jaccard equals
+    string-set Jaccard."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cloud_dedup_ray.functions.text import char_ngrams, normalize
+    from cloud_dedup_ray.pipelines.textops import docs_ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = docs_ngram_jaccard_pairs(sf)
+
+    df = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    norm = normalize(pa.array(df.text.tolist())).to_pylist()
+    grams = {d: char_ngrams(t or "", 5) for d, t in zip(df.doc_id, norm)}
+    ids = sorted(grams)
+    truth = []
+    for i, a in enumerate(ids):
+        ga = grams[a]
+        if not ga:
+            continue
+        for b in ids[i + 1:]:
+            gb = grams[b]
+            if not gb:
+                continue
+            inter = len(ga & gb)
+            j = inter / (len(ga) + len(gb) - inter)
+            if j >= 0.75:
+                truth.append((a, b, round(j, 6)))
+    assert list(got.itertuples(index=False, name=None)) == sorted(truth)

@@ -49,3 +49,58 @@ def test_ivf_deterministic():
     a = emb_knn_ivf(SF, query_vec_id=3, k=5)
     b = emb_knn_ivf(SF, query_vec_id=3, k=5)
     assert a.equals(b)
+
+
+def test_neardup_pairs_exact_vs_bruteforce():
+    """Blocked/pruned emb_neardup_pairs must equal the full O(n²)
+    matmul result exactly (pruning is a bound, never a heuristic)."""
+    import numpy as np
+    import pandas as pd
+
+    from cloud_dedup_ray.pipelines.similarity import emb_neardup_pairs
+
+    got = emb_neardup_pairs(SF, block_rows=64)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (m / norms) @ (m / norms).T
+    ii, jj = np.nonzero(np.triu(sims, k=1) >= 0.38)
+    a, b = ids[ii], ids[jj]
+    truth = sorted(
+        (min(x, y), max(x, y), round(s, 4))
+        for x, y, s in zip(a, b, sims[ii, jj])
+    )
+    assert list(got.itertuples(index=False, name=None)) == truth
+
+
+def test_neardup_pairs_cone_pruning_fires(tmp_path):
+    """On angularly-clustered data the LSH sort + bounding-cone bound
+    must actually prune cross-cluster block pairs (and stay exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from cloud_dedup_ray.pipelines.similarity import emb_neardup_pairs
+
+    rng = np.random.RandomState(0)
+    dim, per = 32, 300
+    centers = rng.normal(size=(4, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.concatenate(
+        [c + 0.05 * rng.normal(size=(per, dim)) for c in centers]
+    )
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": list(vecs.astype(np.float32))}
+    )
+    df.to_parquet(tmp_path / "embeddings.parquet")
+    metrics = {}
+    got = emb_neardup_pairs(
+        str(tmp_path), threshold=0.9, block_rows=100, metrics_out=metrics
+    )
+    assert metrics["n_block_pairs_pruned"] > 0, metrics
+    # exactness on the clustered corpus too
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = (vecs / norms) @ (vecs / norms).T
+    n_truth = int((np.triu(sims, k=1) >= 0.9).sum())
+    assert len(got) == n_truth
