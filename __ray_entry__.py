@@ -363,4 +363,134 @@ def oracle_sql() -> dict[str, str]:
                        CAST(a.embedding AS DOUBLE[]),
                        CAST(b.embedding AS DOUBLE[])) >= 0.38
         """,
+        # lang-ID heuristic twin (functions/text.py lang_id_one): kana /
+        # CJK codepoint counts over the first 400 sample chars, then the
+        # per-language profile-hit argmax with earliest-language ties.
+        "docs_lang_id": """
+            WITH s AS (
+                SELECT doc_id,
+                       ' ' || lower(substr(text, 1, 2000)) || ' ' AS sample
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                    length(regexp_replace(substr(sample, 1, 400),
+                                          '[^぀-ヿ]', '', 'g')) AS kana,
+                    length(regexp_replace(substr(sample, 1, 400),
+                                          '[^一-鿿]', '', 'g')) AS cjk,
+                    (length(sample)-length(replace(sample,' the','')))/4
+                  + (length(sample)-length(replace(sample,' and','')))/4
+                  + (length(sample)-length(replace(sample,' of ','')))/4
+                  + (length(sample)-length(replace(sample,' to ','')))/4
+                  + (length(sample)-length(replace(sample,'ing ','')))/4
+                  + (length(sample)-length(replace(sample,' is ','')))/4
+                  + (length(sample)-length(replace(sample,' that','')))/5
+                  + (length(sample)-length(replace(sample,' in ','')))/4 AS en,
+                    (length(sample)-length(replace(sample,' el ','')))/4
+                  + (length(sample)-length(replace(sample,' de ','')))/4
+                  + (length(sample)-length(replace(sample,' la ','')))/4
+                  + (length(sample)-length(replace(sample,' que','')))/4
+                  + (length(sample)-length(replace(sample,' los','')))/4
+                  + (length(sample)-length(replace(sample,' una','')))/4
+                  + (length(sample)-length(replace(sample,'ción','')))/4
+                  + (length(sample)-length(replace(sample,' por','')))/4 AS es,
+                    (length(sample)-length(replace(sample,' le ','')))/4
+                  + (length(sample)-length(replace(sample,' de ','')))/4
+                  + (length(sample)-length(replace(sample,' la ','')))/4
+                  + (length(sample)-length(replace(sample,' les','')))/4
+                  + (length(sample)-length(replace(sample,' des','')))/4
+                  + (length(sample)-length(replace(sample,' une','')))/4
+                  + (length(sample)-length(replace(sample,' est','')))/4
+                  + (length(sample)-length(replace(sample,' que','')))/4 AS fr,
+                    (length(sample)-length(replace(sample,' der','')))/4
+                  + (length(sample)-length(replace(sample,' die','')))/4
+                  + (length(sample)-length(replace(sample,' und','')))/4
+                  + (length(sample)-length(replace(sample,' das','')))/4
+                  + (length(sample)-length(replace(sample,' ein','')))/4
+                  + (length(sample)-length(replace(sample,'sch','')))/3
+                  + (length(sample)-length(replace(sample,' ist','')))/4
+                  + (length(sample)-length(replace(sample,' mit','')))/4 AS de
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN length(trim(sample)) = 0 THEN 'und'
+                        WHEN kana > 2 THEN 'ja'
+                        WHEN cjk  > 2 THEN 'zh'
+                        WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr >= de THEN 'fr'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM c JOIN s USING (doc_id)
+        """,
+        # quality-feature twin (functions/text.py quality_features /
+        # quality_score): every term is the same IEEE double expression
+        # the pipeline evaluates, so values hash-match bit-for-bit.
+        "docs_quality": """
+            WITH f AS (
+                SELECT doc_id,
+                    length(text) AS n_chars,
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS n_tokens,
+                    length(regexp_replace(text, '\\s', '', 'g')) AS alnum_len,
+                    length(regexp_replace(text, '[^\\pL]', '', 'g')) AS n_alpha,
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(list_filter(
+                                  regexp_split_to_array(trim(text), '\\s+'),
+                                  w -> lower(w) IN (
+                                    'the','a','an','and','or','of','to','in',
+                                    'is','are','was','were','be','been','it',
+                                    'this','that','for','on','with','as','by',
+                                    'at','from')))
+                    END AS n_stop
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_chars, n_tokens,
+                    CASE WHEN n_tokens = 0 THEN 0.0
+                         ELSE alnum_len * 1.0 / n_tokens END AS mean_token_len,
+                    CASE WHEN n_chars = 0 THEN 0.0
+                         ELSE n_alpha * 1.0 / n_chars END AS alpha_ratio,
+                    CASE WHEN n_tokens = 0 THEN 0.0
+                         ELSE n_stop * 1.0 / n_tokens END AS stopword_ratio
+                FROM f
+            )
+            SELECT doc_id, n_chars, n_tokens, mean_token_len, alpha_ratio,
+                   stopword_ratio,
+                   round(0.4 * least(n_tokens / 50.0, 1.0)
+                       + 0.4 * alpha_ratio
+                       + 0.2 * least(stopword_ratio / 0.2, 1.0), 6) AS quality
+            FROM r
+        """,
+        # exact char-5-gram Jaccard twin of the distributed LSH+verify
+        # pipeline: distinct-gram lists per doc, length-ratio prune
+        # (J >= t implies |A|/|B| >= t), exact list_intersect per pair.
+        "docs_ngram_jaccard_pairs": """
+            WITH g AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                         WHEN length(norm) < 5 THEN [norm]
+                         ELSE list_distinct(list_transform(
+                                  range(1, length(norm) - 3),
+                                  i -> substr(norm, CAST(i AS INT), 5)))
+                    END AS gs
+                FROM g
+            ), cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.gs, b.gs)) AS inter,
+                       len(a.gs) AS la, len(b.gs) AS lb
+                FROM grams a JOIN grams b
+                  ON a.doc_id < b.doc_id
+                 AND len(a.gs) > 0 AND len(b.gs) > 0
+                 AND len(a.gs) >= 0.75 * len(b.gs)
+                 AND len(b.gs) >= 0.75 * len(a.gs)
+            )
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (la + lb - inter), 6) AS jaccard
+            FROM cand
+            WHERE inter * 1.0 / (la + lb - inter) >= 0.75
+        """,
     }

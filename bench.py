@@ -211,6 +211,12 @@ def run_scaling() -> dict:
         f"sec_{hi}": t_hi,
         f"files_per_sec_{lo}": r_lo["files_per_sec"],
         f"files_per_sec_{hi}": r_hi["files_per_sec"],
+        f"stage_sec_{lo}": r_lo.get("stage_sec"),
+        f"stage_sec_{hi}": r_hi.get("stage_sec"),
+        f"queries_{lo}": r_lo.get("queries"),
+        f"queries_{hi}": r_hi.get("queries"),
+        f"steady_{lo}": r_lo.get("steady_secs"),
+        f"steady_{hi}": r_hi.get("steady_secs"),
         "sf": r_lo["sf"],
         "note": (
             "single-host logical-CPU oversubscription (nproc=1); "

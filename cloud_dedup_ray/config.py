@@ -59,6 +59,12 @@ class DedupConfig:
     min_doc_chars: int = 8
 
     # ---- execution ----
+    #: verified-edge count above which the FINAL component resolution
+    #: runs as distributed min-label propagation
+    #: (``state/union_find.py:label_propagation_components``) instead of
+    #: the driver union-find; the driver UF still prunes the containment
+    #: pass mid-pipeline (its edges are already collected for verify).
+    distributed_components_threshold: int = 5_000_000
     #: rows per batch for the hashing / signing stages
     batch_size: int = 2048
     #: actor-pool size for the MinHash signer: (min, max)

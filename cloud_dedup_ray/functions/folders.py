@@ -28,6 +28,67 @@ from itertools import combinations
 from cloud_dedup_ray.functions.pathutils import ROOT, ancestors
 
 
+def compare_one_folder(
+    folder: str, present: list[str], sets_here: dict[str, set[str]]
+) -> dict:
+    """Per-folder comparison row (relationship + membership details)
+    from the direct name sets of the labels present. Pure — shared by
+    the driver merge path and the distributed groupby path."""
+    if len(present) < 2:
+        only = present[0]
+        files_here = sets_here[only]
+        union_here = files_here
+        in_all_count = len(files_here)
+        details = {"in_all": [], f"{only}_only": sorted(files_here)}
+        relationship = "unique"
+    else:
+        sets_list = list(sets_here.values())
+        if all(s == sets_list[0] for s in sets_list):
+            relationship = "identical"
+        else:
+            rels = set()
+            for la, lb in combinations(present, 2):
+                sa, sb = sets_here[la], sets_here[lb]
+                if sa == sb:
+                    rels.add("identical")
+                elif sa < sb:
+                    rels.add("subset")
+                elif sa > sb:
+                    rels.add("superset")
+                else:
+                    rels.add("overlap")
+            if rels == {"identical"}:
+                relationship = "identical"
+            elif "overlap" in rels:
+                relationship = "overlap"
+            elif rels & {"subset", "superset"}:
+                relationship = "subset/superset"
+            else:
+                relationship = "overlap"
+        union_here = set.union(*sets_here.values())
+        in_all = set.intersection(*sets_here.values())
+        in_all_count = len(in_all)
+        details = {"in_all": sorted(in_all)}
+        for label in present:
+            others = set.union(
+                *(sets_here[l] for l in present if l != label)
+            )
+            details[f"{label}_only"] = sorted(sets_here[label] - others)
+        for la, lb in combinations(present, 2):
+            shared = (sets_here[la] & sets_here[lb]) - in_all
+            if shared:
+                details[f"{la}+{lb}"] = sorted(shared)
+
+    return {
+        "folder_path": folder,
+        "services_present": present,
+        "relationship": relationship,
+        "total_unique_files": len(union_here),
+        "files_in_all": in_all_count,
+        "details": details,
+    }
+
+
 def folder_analysis(
     folder_sets: dict[str, dict[str, set[str]]],
     labels: list[str],
@@ -62,63 +123,21 @@ def folder_analysis(
         if not present:
             continue
         sets_here = {l: folder_sets[l].get(folder, set()) for l in present}
+        folder_comparisons.append(compare_one_folder(folder, present, sets_here))
 
-        if len(present) < 2:
-            only = present[0]
-            files_here = sets_here[only]
-            union_here = files_here
-            in_all_count = len(files_here)
-            details = {"in_all": [], f"{only}_only": sorted(files_here)}
-            relationship = "unique"
-        else:
-            sets_list = list(sets_here.values())
-            if all(s == sets_list[0] for s in sets_list):
-                relationship = "identical"
-            else:
-                rels = set()
-                for la, lb in combinations(present, 2):
-                    sa, sb = sets_here[la], sets_here[lb]
-                    if sa == sb:
-                        rels.add("identical")
-                    elif sa < sb:
-                        rels.add("subset")
-                    elif sa > sb:
-                        rels.add("superset")
-                    else:
-                        rels.add("overlap")
-                if rels == {"identical"}:
-                    relationship = "identical"
-                elif "overlap" in rels:
-                    relationship = "overlap"
-                elif rels & {"subset", "superset"}:
-                    relationship = "subset/superset"
-                else:
-                    relationship = "overlap"
-            union_here = set.union(*sets_here.values())
-            in_all = set.intersection(*sets_here.values())
-            in_all_count = len(in_all)
-            details = {"in_all": sorted(in_all)}
-            for label in present:
-                others = set.union(
-                    *(sets_here[l] for l in present if l != label)
-                )
-                details[f"{label}_only"] = sorted(sets_here[label] - others)
-            for la, lb in combinations(present, 2):
-                shared = (sets_here[la] & sets_here[lb]) - in_all
-                if shared:
-                    details[f"{la}+{lb}"] = sorted(shared)
+    return finalize_comparisons(folder_comparisons)
 
-        folder_comparisons.append(
-            {
-                "folder_path": folder,
-                "services_present": present,
-                "relationship": relationship,
-                "total_unique_files": len(union_here),
-                "files_in_all": in_all_count,
-                "details": details,
-            }
-        )
 
+def finalize_comparisons(
+    folder_comparisons: list[dict],
+) -> tuple[list[dict], dict[str, int], list[dict]]:
+    """Rollup half: relationship counts, subtree status/totals, and
+    safe-to-delete roots over PATH-SORTED comparison rows (one row per
+    folder — no file names needed, so this driver step scales with
+    folder count, not corpus size)."""
+    folder_comparisons = sorted(
+        folder_comparisons, key=lambda fc: fc["folder_path"]
+    )
     relationship_counts: dict[str, int] = defaultdict(int)
     for fc in folder_comparisons:
         relationship_counts[fc["relationship"]] += 1

@@ -44,7 +44,10 @@ from cloud_dedup_ray.functions.classify import (
     Rec,
     classify_pair,
 )
-from cloud_dedup_ray.functions.folders import folder_analysis
+from cloud_dedup_ray.functions.folders import (
+    finalize_comparisons,
+    folder_analysis,
+)
 from cloud_dedup_ray.stages.project import project_corpus
 
 GROUP_SCHEMA = pa.schema(
@@ -260,6 +263,11 @@ class ExactResult:
     folder_comparisons: list[dict] = field(default_factory=list)
     relationship_counts: dict[str, int] = field(default_factory=dict)
     safe_to_delete_roots: list[dict] = field(default_factory=list)
+    #: folder → {label → sorted lowercase names}; feeds the HTML tree's
+    #: per-file badge lists (reference folder_label_names, :1002-1007).
+    #: Driver-sized like the reference's scanned-records map — the HTML
+    #: tree is a small-corpus artifact by construction.
+    file_names_by_folder: dict = field(default_factory=dict)
     #: per-phase wall seconds (throughput/skew observability, north rule)
     metrics: dict = field(default_factory=dict)
 
@@ -318,14 +326,139 @@ class ExactResult:
             "folder_comparisons": self.folder_comparisons,
             "relationship_counts": self.relationship_counts,
             "safe_to_delete_roots": self.safe_to_delete_roots,
+            "_file_names_by_folder": self.file_names_by_folder,
         }
 
 
+def folder_comparison_rows_distributed(
+    projected: ray.data.Dataset, num_parts: int = 32
+) -> list[dict]:
+    """Distributed folder analytics (the scale path for F1–F6): the
+    driver never holds the global (repo, folder) → name-set map.
+
+    1. per-batch distinct-name partials → ``groupby(repo, folder)``
+       reduce — one row per (repo, folder) with its direct names;
+    2. ancestor-presence explode (one marker row per ancestor, names
+       shipped only for the direct row);
+    3. coarse hash partition on the folder → per-folder comparison
+       (``compare_one_folder``) inside the group task.
+
+    Returns one comparison row per folder (counts + membership details —
+    ≪ corpus); ``finalize_comparisons`` does the path-sorted rollups.
+    Label order contract: the rebuild always uses sorted labels, so
+    ``services_present`` = sorted repos present — no global label
+    broadcast is needed."""
+    import json as _json
+
+    import pandas as pd
+
+    from cloud_dedup_ray.functions.folders import compare_one_folder
+    from cloud_dedup_ray.functions.pathutils import ancestors
+
+    def _partials(table: pa.Table) -> pa.Table:
+        df = table.select(["repo", "folder", "name"]).to_pandas()
+        g = (
+            df.groupby(["repo", "folder"], sort=False)["name"]
+            .agg(lambda s: sorted(set(s)))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "repo": pa.array(g["repo"], pa.string()),
+                "folder": pa.array(g["folder"], pa.string()),
+                "names": pa.array(list(g["name"]), pa.list_(pa.string())),
+            }
+        )
+
+    def _merge_sets(df: "pd.DataFrame") -> "pd.DataFrame":
+        names = sorted(set().union(*df["names"]))
+        return pd.DataFrame(
+            {"repo": [df["repo"].iloc[0]], "folder": [df["folder"].iloc[0]],
+             "names": [names]}
+        )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        tgt: list[str] = []
+        repo: list[str] = []
+        names: list[list[str]] = []
+        direct: list[bool] = []
+        for r, f, ns in zip(
+            t["repo"].to_pylist(), t["folder"].to_pylist(), t["names"].to_pylist()
+        ):
+            tgt.append(f)
+            repo.append(r)
+            names.append(ns)
+            direct.append(True)
+            for a in ancestors(f):
+                tgt.append(a)
+                repo.append(r)
+                names.append([])
+                direct.append(False)
+        return pa.table(
+            {
+                "target": pa.array(tgt, pa.string()),
+                "repo": pa.array(repo, pa.string()),
+                "names": pa.array(names, pa.list_(pa.string())),
+                "direct": pa.array(direct, pa.bool_()),
+            }
+        )
+
+    def _add_part(t: pa.Table) -> pa.Table:
+        part = coarse.str_partition(t["target"].to_pylist(), num_parts)
+        return t.append_column("__part", pa.array(part))
+
+    _PAYLOAD_KEYS = (
+        "services_present", "relationship", "total_unique_files",
+        "files_in_all", "details",
+    )
+
+    def _compare(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for folder, g in df.groupby("target", sort=False):
+            present = sorted(set(g["repo"]))
+            sets_here: dict[str, set[str]] = {l: set() for l in present}
+            for r, ns, d in zip(g["repo"], g["names"], g["direct"]):
+                if d:
+                    sets_here[r].update(ns)
+            row = compare_one_folder(folder, present, sets_here)
+            out.append(
+                {
+                    "folder_path": row["folder_path"],
+                    "payload": _json.dumps({k: row[k] for k in _PAYLOAD_KEYS}),
+                }
+            )
+        return pd.DataFrame(out, columns=["folder_path", "payload"])
+
+    _compare.__name__ = "folder_compare"
+    rows = (
+        projected.select_columns(["repo", "folder", "name"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["repo", "folder"])
+        .map_groups(_merge_sets, batch_format="pandas")
+        .map_batches(_explode, batch_format="pyarrow")
+        .map_batches(_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_compare, batch_format="pandas")
+        .take_all()
+    )
+    return [
+        {"folder_path": r["folder_path"], **_json.loads(r["payload"])}
+        for r in rows
+    ]
+
+
 def analyze_corpus(
-    corpus: ray.data.Dataset, cfg: DedupConfig | None = None
+    corpus: ray.data.Dataset, cfg: DedupConfig | None = None,
+    folder_mode: str = "auto",
 ) -> ExactResult:
     """Run the full exact-tier analysis over a corpus Dataset in the
-    ``input_hint`` schema."""
+    ``input_hint`` schema.
+
+    ``folder_mode``: ``"driver"`` merges folder name-sets on the driver
+    (reference-shaped, also feeds the HTML tree's per-file lists);
+    ``"distributed"`` runs the groupby(repo, folder) reduce + per-folder
+    compare as a Dataset job (driver holds one row per folder);
+    ``"auto"`` switches to distributed above 2M corpus rows."""
     import time
 
     cfg = cfg or DedupConfig()
@@ -405,10 +538,16 @@ def analyze_corpus(
                 sets.setdefault(r, {}).setdefault(f, set()).update(names)
         return sets
 
+    use_distributed_folders = folder_mode == "distributed" or (
+        folder_mode == "auto" and projected.count() > 2_000_000
+    )
     pool = ThreadPoolExecutor(max_workers=3)
     f_groups = pool.submit(_run_classify)
     f_sym = pool.submit(_run_sym_paths)
-    f_folders = pool.submit(_run_folder_partials)
+    if use_distributed_folders:
+        f_folders = pool.submit(folder_comparison_rows_distributed, projected)
+    else:
+        f_folders = pool.submit(_run_folder_partials)
     groups_df = f_groups.result()
     symlink_paths = f_sym.result()
     t_classify = time.perf_counter()
@@ -431,8 +570,77 @@ def analyze_corpus(
         part = coarse.str_partition(t["path_lower"].to_pylist(), num_parts)
         return t.append_column("__part", pa.array(part))
 
-    if symlink_paths:
-        mixed_df = (
+    import pandas as pd
+
+    # ---- unique counts, part 1 (J7, representative-path quirk
+    # preserved): dup_rel_paths is built from the FIRST-pass groups only
+    # so the A1+A4 count shuffle can run CONCURRENTLY with the
+    # mixed-type shuffle; the mixed groups' contribution is corrected on
+    # the driver afterwards using per-(repo, symlink-path) row counts
+    # that the same count pass emits (mixed groups always key on a
+    # symlink path, so the candidate set is known up front). ----
+    dup_rel_paths: dict[str, set[str]] = {}
+    for rp, svcs in zip(groups_df["rel_path"], groups_df["services"]):
+        rpl = rp.lower()
+        for l in svcs:
+            dup_rel_paths.setdefault(l, set()).add(rpl)
+    dup_ref = ray.put(dup_rel_paths)
+
+    # A1 + A4 in ONE distributed pass: per batch emit (repo, total,
+    # matched) partials plus (repo, symlink-path, rows) partials —
+    # path_key "" marks the per-repo aggregate row — reduced with a
+    # tiny two-key groupby.
+    _COUNT_SCHEMA = pa.schema(
+        [("repo", pa.string()), ("path_key", pa.string()),
+         ("total", pa.int64()), ("matched", pa.int64())]
+    )
+
+    def _count_partials(batch: pa.Table) -> pa.Table:
+        sets = ray.get(dup_ref)
+        sympaths = ray.get(sym_paths_ref)
+        df = pa.table(
+            {"repo": batch["repo"], "path_lower": batch["path_lower"]}
+        ).to_pandas()
+        rows = []
+        for repo, g in df.groupby("repo", sort=False):
+            matched = int(g["path_lower"].isin(sets.get(repo, ())).sum())
+            rows.append(
+                {"repo": repo, "path_key": "", "total": len(g),
+                 "matched": matched}
+            )
+            if sympaths:
+                in_sym = g[g["path_lower"].isin(sympaths)]
+                for p, c in in_sym["path_lower"].value_counts().items():
+                    rows.append(
+                        {"repo": repo, "path_key": p, "total": int(c),
+                         "matched": 0}
+                    )
+        return pa.Table.from_pylist(rows, schema=_COUNT_SCHEMA)
+
+    from ray.data.aggregate import Sum
+
+    def _run_counts():
+        total: dict[str, int] = {}
+        matched: dict[str, int] = {}
+        sym_rows: dict[tuple[str, str], int] = {}
+        for r in (
+            projected.map_batches(_count_partials, batch_format="pyarrow")
+            .groupby(["repo", "path_key"])
+            .aggregate(Sum("total", alias_name="total"),
+                       Sum("matched", alias_name="matched"))
+            .take_all()
+        ):
+            if r["path_key"] == "":
+                total[r["repo"]] = r["total"]
+                matched[r["repo"]] = r["matched"]
+            else:
+                sym_rows[(r["repo"], r["path_key"])] = r["total"]
+        return total, matched, sym_rows
+
+    def _run_mixed():
+        if not symlink_paths:
+            return GROUP_SCHEMA.empty_table().to_pandas()
+        df = (
             projected.select_columns(REC_COLS + ["path_lower"])
             .map_batches(_part_path, batch_format="pyarrow")
             .groupby("__part")
@@ -441,13 +649,15 @@ def analyze_corpus(
             )
             .to_pandas()
         )
-    else:
-        mixed_df = GROUP_SCHEMA.empty_table().to_pandas()
-    if mixed_df.empty:
-        mixed_df = GROUP_SCHEMA.empty_table().to_pandas()
-    t_mixed = time.perf_counter()
+        return df if not df.empty else GROUP_SCHEMA.empty_table().to_pandas()
 
-    import pandas as pd
+    pool2 = ThreadPoolExecutor(max_workers=2)
+    f_counts = pool2.submit(_run_counts)
+    f_mixed = pool2.submit(_run_mixed)
+    mixed_df = f_mixed.result()
+    t_mixed = time.perf_counter()
+    total_files, matched_counts, sym_row_counts = f_counts.result()
+    pool2.shutdown()
 
     dup_df = groups_df[groups_df.route == "duplicate"]
     con_df = pd.concat(
@@ -465,47 +675,17 @@ def analyze_corpus(
     conflict_groups = _as_ds(con_df)
     symlink_groups = _as_ds(sym_df)
 
-    # ---- unique counts (J7, representative-path quirk preserved) ----
-    dup_rel_paths: dict[str, set[str]] = {}
-    for df_part in (dup_df, con_df, sym_df):
-        for rp, svcs in zip(df_part["rel_path"], df_part["services"]):
-            rpl = rp.lower()
-            for l in svcs:
+    # mixed-group correction: rows whose path matched ONLY a mixed group
+    # (every mixed group keys on a symlink path, counted above)
+    for rp, svcs in zip(mixed_df["rel_path"], mixed_df["services"]):
+        rpl = rp.lower()
+        for l in svcs:
+            if rpl not in dup_rel_paths.get(l, ()):
+                matched_counts[l] = (
+                    matched_counts.get(l, 0) + sym_row_counts.get((l, rpl), 0)
+                )
                 dup_rel_paths.setdefault(l, set()).add(rpl)
-    dup_ref = ray.put(dup_rel_paths)
 
-    # A1 + A4 in ONE distributed pass: per batch emit (repo, total,
-    # matched) partials, reduce with a tiny groupby.
-    def _count_partials(batch: pa.Table) -> pa.Table:
-        sets = ray.get(dup_ref)
-        df = pa.table(
-            {"repo": batch["repo"], "path_lower": batch["path_lower"]}
-        ).to_pandas()
-        rows = []
-        for repo, g in df.groupby("repo", sort=False):
-            matched = int(g["path_lower"].isin(sets.get(repo, ())).sum())
-            rows.append({"repo": repo, "total": len(g), "matched": matched})
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [("repo", pa.string()), ("total", pa.int64()),
-                 ("matched", pa.int64())]
-            ),
-        )
-
-    from ray.data.aggregate import Sum
-
-    total_files: dict[str, int] = {}
-    matched_counts: dict[str, int] = {}
-    for r in (
-        projected.map_batches(_count_partials, batch_format="pyarrow")
-        .groupby("repo")
-        .aggregate(Sum("total", alias_name="total"),
-                   Sum("matched", alias_name="matched"))
-        .take_all()
-    ):
-        total_files[r["repo"]] = r["total"]
-        matched_counts[r["repo"]] = r["matched"]
     # the same pass yields the label set (A1 doubles as label discovery)
     labels = sorted(total_files)
     n_labels = len(labels)
@@ -521,18 +701,29 @@ def analyze_corpus(
     all_services_count = int((dup_df["n_services"] == n_labels).sum())
     t_counts = time.perf_counter()
 
-    # ---- folder analytics (F1-F6): the per-batch partial aggregation
-    # was launched concurrently with the classify shuffle above; here we
-    # just collect it. ----
-    folder_sets = f_folders.result()
-    pool.shutdown()
-    for l in labels:
-        folder_sets.setdefault(l, {})
-
-    t_folder_agg = time.perf_counter()
-    folder_comparisons, relationship_counts, safe_roots = folder_analysis(
-        folder_sets, labels
-    )
+    # ---- folder analytics (F1-F6): the folder job (driver merge or
+    # distributed groupby compare) was launched concurrently with the
+    # classify shuffle above; here we just collect it. ----
+    names_by_folder: dict[str, dict[str, list[str]]] = {}
+    if use_distributed_folders:
+        comparison_rows = f_folders.result()
+        pool.shutdown()
+        t_folder_agg = time.perf_counter()
+        folder_comparisons, relationship_counts, safe_roots = (
+            finalize_comparisons(comparison_rows)
+        )
+    else:
+        folder_sets = f_folders.result()
+        pool.shutdown()
+        for l in labels:
+            folder_sets.setdefault(l, {})
+        for label, folders in folder_sets.items():
+            for folder, names in folders.items():
+                names_by_folder.setdefault(folder, {})[label] = sorted(names)
+        t_folder_agg = time.perf_counter()
+        folder_comparisons, relationship_counts, safe_roots = folder_analysis(
+            folder_sets, labels
+        )
     t_folder = time.perf_counter()
     metrics = {
         "sec_project": round(t_project - t0, 3),
@@ -557,5 +748,6 @@ def analyze_corpus(
         folder_comparisons=folder_comparisons,
         relationship_counts=relationship_counts,
         safe_to_delete_roots=safe_roots,
+        file_names_by_folder=names_by_folder,
         metrics=metrics,
     )

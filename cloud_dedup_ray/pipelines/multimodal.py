@@ -53,33 +53,59 @@ def build_image_table(sf_dir: str) -> ray.data.Dataset:
 
 
 class ImageDecoder:
-    """Actor-pool decode stage. ``__init__`` is where a real build would
-    load the codec (PIL/opencv/ffmpeg); here it only validates the stub
-    is in use. ``decode_real`` documents the unimplemented path."""
+    """Actor-pool decode stage. The codec is selected ONCE per actor in
+    ``__init__`` (the stateful-stage contract): PIL when importable,
+    else the deterministic FIMG stub. Real payloads route through the
+    codec; FIMG payloads always parse via the stub header, so the same
+    stage handles mixed corpora and test fixtures. With neither a codec
+    nor a FIMG magic, the row fails loudly — no silent fake features.
 
-    def __init__(self, allow_stub: bool = True):
-        if not allow_stub:
-            self.decode_real(b"")
-        self.allow_stub = allow_stub
+    ``codec`` injects a PIL-compatible module in tests (this container
+    ships no image library)."""
 
-    @staticmethod
-    def decode_real(payload: bytes):
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not present in this "
-            "environment; the stub decoder parses the deterministic FIMG header"
-        )
+    def __init__(self, allow_stub: bool = True, codec=None):
+        if codec is not None:
+            self.codec = codec
+        else:
+            try:
+                from PIL import Image  # guarded: not in this container
+
+                self.codec = Image
+            except ImportError:
+                self.codec = None
+        if not allow_stub and self.codec is None:
+            raise NotImplementedError(
+                "real image decoding requires PIL/opencv, not present in "
+                "this environment, and allow_stub=False forbids the FIMG "
+                "stub decoder"
+            )
+
+    def _decode_codec(self, buf: bytes) -> tuple[int, int, int, float]:
+        import io
+
+        img = self.codec.open(io.BytesIO(buf))
+        arr = np.asarray(img)
+        c = 1 if arr.ndim == 2 else int(arr.shape[2])
+        return int(img.width), int(img.height), c, round(float(arr.mean()), 4)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         widths, heights, channels, mean_px = [], [], [], []
         for buf in t["image"].to_pylist():
-            if buf[:4] != _MAGIC:
-                raise ValueError("not a FIMG payload")
-            w, h, c = struct.unpack("<III", buf[4:16])
-            body = np.frombuffer(buf[16:], np.uint8)
+            if buf[:4] == _MAGIC:
+                w, h, c = struct.unpack("<III", buf[4:16])
+                body = np.frombuffer(buf[16:], np.uint8)
+                m = round(float(body.mean()), 4)
+            elif self.codec is not None:
+                w, h, c, m = self._decode_codec(buf)
+            else:
+                raise NotImplementedError(
+                    "payload is not FIMG and no image codec is available "
+                    "(install PIL for real decoding)"
+                )
             widths.append(w)
             heights.append(h)
             channels.append(c)
-            mean_px.append(round(float(body.mean()), 4))
+            mean_px.append(m)
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -42,6 +42,24 @@ from cloud_dedup_ray.stages.minhash_stage import (
 from cloud_dedup_ray.state.union_find import UnionFind
 
 
+def _is_materialized(ds: ray.data.Dataset) -> bool:
+    from ray.data.dataset import MaterializedDataset
+
+    return isinstance(ds, MaterializedDataset)
+
+
+def _scan_blocks(ds: ray.data.Dataset, fn, *args) -> list:
+    """Run ``fn(block_table, *args)`` as one flat Ray task per block of
+    an already-materialized dataset: the low-latency replacement for a
+    ``map_batches → iter_batches`` round trip when the blocks are
+    already sitting in the object store. Each Dataset job launch costs
+    1-2 s of serial driver time on this Ray version; a task wave over
+    block refs costs ~100 ms — this is the main lever on the headline
+    run's serial floor. ``args`` may contain object refs (broadcast)."""
+    task = ray.remote(num_cpus=1)(fn)
+    return ray.get([task.remote(ref, *args) for ref in ds.to_arrow_refs()])
+
+
 @dataclass
 class NearDupResult:
     #: Dataset of (doc_id, cluster_id); singletons keep cluster_id == doc_id
@@ -133,21 +151,40 @@ def _verify_edges(
     cand_ids = np.unique(np.concatenate([a, b]))
     cand_ref = ray.put(cand_ids)
 
-    def _sig_filter(t: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
-        return t.filter(pa.array(mask)).select(["doc_id", "sig"])
+    def _sig_block(t: pa.Table, wanted: np.ndarray):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            e = np.empty(0, np.int64)
+            return e, np.empty((0, 1), np.uint64)
+        ids = np.asarray(t["doc_id"], np.int64)
+        mask = np.isin(ids, wanted)
+        col = t["sig"].combine_chunks()
+        num_perm = col.type.list_size
+        sigs = np.asarray(col.flatten()).reshape(-1, num_perm)
+        return ids[mask], sigs[mask]
 
     id_parts: list[np.ndarray] = []
     sig_parts: list[np.ndarray] = []
-    for bt in signed.map_batches(_sig_filter, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        id_parts.append(np.asarray(bt["doc_id"], np.int64))
-        num_perm = bt["sig"].type.list_size
-        sig_parts.append(
-            np.asarray(bt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
-        )
+    if _is_materialized(signed):
+        # blocks are in the object store → flat task wave, no Dataset job
+        for ids_part, sig_part in _scan_blocks(signed, _sig_block, cand_ref):
+            if ids_part.size:
+                id_parts.append(ids_part)
+                sig_parts.append(sig_part)
+    else:
+
+        def _sig_filter(t: pa.Table) -> pa.Table:
+            wanted = ray.get(cand_ref)
+            mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
+            return t.filter(pa.array(mask)).select(["doc_id", "sig"])
+
+        for bt in signed.map_batches(
+            _sig_filter, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            id_parts.append(np.asarray(bt["doc_id"], np.int64))
+            num_perm = bt["sig"].type.list_size
+            sig_parts.append(
+                np.asarray(bt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
+            )
     t_fetch = time.perf_counter()
     all_ids = np.concatenate(id_parts)
     all_sigs = np.concatenate(sig_parts)
@@ -186,6 +223,50 @@ def _verify_edges(
     }
 
 
+def _fetch_normalized_texts(
+    corpus: ray.data.Dataset, need_ref
+) -> list[tuple[int, str]]:
+    """Semi-join the normalized content of the wanted doc_ids out of the
+    corpus (broadcast sorted-id filter; filter first, THEN normalize so
+    the kernel runs only over selected rows). Task wave over block refs
+    when the corpus is materialized, Dataset job otherwise."""
+
+    def _content_block(t: pa.Table, wanted: np.ndarray):
+        # empty blocks after a filter can carry an EMPTY schema
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return []
+        ids = np.asarray(t["doc_id"], np.int64)
+        mask = np.isin(ids, wanted)
+        if not mask.any():
+            return []
+        sel = t.filter(pa.array(mask))
+        norm = normalize(sel["content"].combine_chunks())
+        return [
+            (d, c or "")
+            for d, c in zip(sel["doc_id"].to_pylist(), norm.to_pylist())
+        ]
+
+    if _is_materialized(corpus):
+        parts = _scan_blocks(corpus, _content_block, need_ref)
+        return [item for part in parts for item in part]
+
+    def _content_filter(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
+        sel = t.filter(pa.array(mask))
+        return pa.table(
+            {"doc_id": sel["doc_id"], "norm": normalize(sel["content"])}
+        )
+
+    out: list[tuple[int, str]] = []
+    for bt in corpus.map_batches(_content_filter, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, c in zip(bt["doc_id"].to_pylist(), bt["norm"].to_pylist()):
+            out.append((d, c or ""))
+    return out
+
+
 def _exact_jaccard_edges(
     corpus: ray.data.Dataset,
     pairs: list[tuple[int, int]],
@@ -198,21 +279,9 @@ def _exact_jaccard_edges(
     from cloud_dedup_ray.functions.minhash import exact_jaccard
     from cloud_dedup_ray.functions.text import TokenHashCache, token_shingles_hashed
 
-    needed = sorted({d for p in pairs for d in p})
-    need_ref = ray.put(set(needed))
-
-    def _content_filter(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()])
-        return t.filter(mask).select(["doc_id", "content"])
-
-    texts: dict[int, str] = {}
-    for bt in corpus.map_batches(_content_filter, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        norm = normalize(bt["content"].combine_chunks())
-        for d, c in zip(bt["doc_id"].to_pylist(), norm.to_pylist()):
-            texts[d] = c or ""
+    needed = np.unique(np.asarray([d for p in pairs for d in p], np.int64))
+    need_ref = ray.put(needed)
+    texts: dict[int, str] = dict(_fetch_normalized_texts(corpus, need_ref))
 
     shingle_k, thr, min_chars = cfg.shingle_k, cfg.jaccard_threshold, cfg.min_doc_chars
 
@@ -268,10 +337,24 @@ def containment_edges(
     clusters (all mutually near-identical) from the suffix-array work
     entirely.
     """
-    # NOTE: normalized content is fetched lazily AFTER candidate-group
-    # pruning (filter → normalize, not normalize-all → filter), so the
-    # normalize kernel runs only over docs that are members of some
-    # candidate group.
+    groups = _containment_discover_groups(signed, cfg, metrics_out)
+    return _containment_verify(corpus, signed, cfg, groups, precomp, metrics_out)
+
+
+def _containment_discover_groups(
+    signed: ray.data.Dataset,
+    cfg: DedupConfig,
+    metrics_out: dict | None = None,
+) -> list[tuple[int, ...]]:
+    """Anchor-group discovery (the shuffle half of the containment
+    pass): docs sharing a bottom-k shingle anchor, capped at
+    ``bucket_pair_cap`` members. Independent of the LSH verify results,
+    so ``cluster_corpus`` overlaps this shuffle with edge collection +
+    verification; the cluster-representative pruning happens afterwards
+    on the driver (see ``_containment_verify``) with identical results —
+    a group of b ≤ cap members is at most ``cap`` ints, so shipping the
+    unpruned groups is cheap, and over-cap boilerplate anchors are
+    dropped by the cap either way."""
 
     def _explode_anchors(t: pa.Table) -> pa.Table:
         col = t["anchors"].combine_chunks()
@@ -280,26 +363,13 @@ def containment_edges(
         ids = np.repeat(np.asarray(t["doc_id"], np.int64), lens)
         return pa.table({"anchor": flat, "doc_id": ids})
 
-    cont_metrics: dict = {}
     t0 = time.perf_counter()
     anchors = signed.map_batches(_explode_anchors, batch_format="pyarrow")
 
     # candidate groups: docs sharing an anchor (drop singleton anchors).
     # Coarse-partitioned: anchors are near-unique, so a per-anchor
     # map_groups would dominate on group overhead (stages/coarse.py).
-    # Cluster-representative pruning (``precomp``) happens INSIDE the
-    # group task with a broadcast sorted comp map, so the driver only
-    # receives pruned groups (boilerplate clusters collapse before any
-    # Python-object transfer).
     from cloud_dedup_ray.stages import coarse
-
-    if precomp:
-        pk = np.fromiter(precomp.keys(), np.int64, len(precomp))
-        pv = np.fromiter(precomp.values(), np.int64, len(precomp))
-        o = np.argsort(pk)
-        pre_ref = ray.put((pk[o], pv[o]))
-    else:
-        pre_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
 
     def _add_part(t: pa.Table) -> pa.Table:
         part = coarse.int_partition(np.asarray(t["anchor"], np.int64), 64)
@@ -308,26 +378,13 @@ def containment_edges(
     cap = cfg.bucket_pair_cap
 
     def _group_ids(t: pa.Table) -> pa.Table:
-        pk_s, pv_s = ray.get(pre_ref)
         anc = np.asarray(t["anchor"], np.int64)
         ids = np.asarray(t["doc_id"], np.int64)
         order = np.lexsort((ids, anc))
         out: list[list[int]] = []
         for sl in coarse.group_slices(order, anc[order]):
             members = np.unique(ids[order[sl]])
-            if not (2 <= len(members) <= cap):
-                continue
-            if len(pk_s):
-                idx = np.searchsorted(pk_s, members).clip(0, len(pk_s) - 1)
-                hit = pk_s[idx] == members
-                clusters = np.where(hit, pv_s[idx], members)
-                # min doc per cluster (members ascending → first hit wins)
-                _, first = np.unique(clusters, return_index=True)
-                reps = np.sort(members[first])
-                if len(reps) < 2:
-                    continue
-                out.append(reps.tolist())
-            else:
+            if 2 <= len(members) <= cap:
                 out.append(members.tolist())
         return pa.table({"ids": pa.array(out, pa.list_(pa.int64()))})
 
@@ -341,11 +398,50 @@ def containment_edges(
             .take_all()
         }
     )
-    cont_metrics["n_groups"] = len(groups)
-    cont_metrics["sec_cont_groups"] = round(time.perf_counter() - t0, 3)
     if metrics_out is not None:
-        metrics_out.update(cont_metrics)
+        metrics_out["n_groups_raw"] = len(groups)
+        metrics_out["sec_cont_groups"] = round(time.perf_counter() - t0, 3)
+    return groups
+
+
+def _containment_verify(
+    corpus: ray.data.Dataset,
+    signed: ray.data.Dataset,
+    cfg: DedupConfig,
+    groups: list[tuple[int, ...]],
+    precomp: dict[int, int] | None = None,
+    metrics_out: dict | None = None,
+) -> list[tuple[int, int]]:
+    """Verification half of the containment pass: collapse group members
+    to one representative per LSH cluster (``precomp``), ratio-prune,
+    fetch normalized text for surviving pair members only, suffix-array
+    check per big doc."""
+    # NOTE: normalized content is fetched lazily AFTER candidate-group
+    # pruning (filter → normalize, not normalize-all → filter), so the
+    # normalize kernel runs only over docs that are members of some
+    # candidate group.
+    cont_metrics: dict = {}
+    if precomp:
+        pk = np.fromiter(precomp.keys(), np.int64, len(precomp))
+        pv = np.fromiter(precomp.values(), np.int64, len(precomp))
+        o = np.argsort(pk)
+        pk_s, pv_s = pk[o], pv[o]
+        pruned: list[tuple[int, ...]] = []
+        for g in groups:
+            members = np.asarray(g, np.int64)
+            idx = np.searchsorted(pk_s, members).clip(0, len(pk_s) - 1)
+            hit = pk_s[idx] == members
+            clusters = np.where(hit, pv_s[idx], members)
+            # min doc per cluster (members ascending → first hit wins)
+            _, first = np.unique(clusters, return_index=True)
+            reps = np.sort(members[first])
+            if len(reps) >= 2:
+                pruned.append(tuple(reps.tolist()))
+        groups = sorted(set(pruned))
+    cont_metrics["n_groups"] = len(groups)
     if not groups:
+        if metrics_out is not None:
+            metrics_out.update(cont_metrics)
         return []
     t0 = time.perf_counter()
 
@@ -358,41 +454,83 @@ def containment_edges(
     member_ids = np.fromiter(sorted({d for g in groups for d in g}), np.int64)
     mem_ref = ray.put(member_ids)
 
-    def _len_filter(t: pa.Table) -> pa.Table:
-        wanted = ray.get(mem_ref)
-        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
-        return t.filter(pa.array(mask)).select(["doc_id", "n_shingles"])
+    def _len_block(t: pa.Table, wanted: np.ndarray):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            e = np.empty(0, np.int64)
+            return e, e
+        ids = np.asarray(t["doc_id"], np.int64)
+        mask = np.isin(ids, wanted)
+        return ids[mask], np.asarray(t["n_shingles"], np.int64)[mask]
 
     nsh: dict[int, int] = {}
-    for bt in signed.map_batches(_len_filter, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for d, n in zip(bt["doc_id"].to_pylist(), bt["n_shingles"].to_pylist()):
-            nsh[d] = n
+    if _is_materialized(signed):
+        for ids_part, len_part in _scan_blocks(signed, _len_block, mem_ref):
+            nsh.update(zip(ids_part.tolist(), len_part.tolist()))
+    else:
 
+        def _len_filter(t: pa.Table) -> pa.Table:
+            wanted = ray.get(mem_ref)
+            mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
+            return t.filter(pa.array(mask)).select(["doc_id", "n_shingles"])
+
+        for bt in signed.map_batches(
+            _len_filter, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for d, n in zip(bt["doc_id"].to_pylist(), bt["n_shingles"].to_pylist()):
+                nsh[d] = n
+
+    # Pair extraction, vectorized by group size: groups of equal size s
+    # stack into a (k, s) matrix and emit all k·C(s,2) pairs with two
+    # fancy-index gathers — the per-pair Python loop this replaces was
+    # ~10 s of serial driver time at 1M candidate pairs (a constant term
+    # that capped scaling efficiency).
     ratio_cap = cfg.jaccard_threshold
-    pair_set: set[tuple[int, int]] = set()
+    nsh_keys = np.fromiter(nsh.keys(), np.int64, len(nsh))
+    nsh_vals = np.fromiter(nsh.values(), np.int64, len(nsh))
+    ko = np.argsort(nsh_keys)
+    nsh_keys, nsh_vals = nsh_keys[ko], nsh_vals[ko]
+
+    def _counts_of(ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(nsh_keys, ids).clip(0, max(len(nsh_keys) - 1, 0))
+        hit = nsh_keys[idx] == ids if len(nsh_keys) else np.zeros(len(ids), bool)
+        return np.where(hit, nsh_vals[idx], 0)
+
+    by_size: dict[int, list[tuple[int, ...]]] = {}
     for g in groups:
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                x, y = g[i], g[j]
-                nx, ny = nsh.get(x, 0), nsh.get(y, 0)
-                if nx == 0 or ny == 0:
-                    continue
-                small, big = (x, y) if nx <= ny else (y, x)
-                if min(nx, ny) >= ratio_cap * max(nx, ny):
-                    continue  # ratio ⇒ J ≥ τ if contained ⇒ LSH's job
-                pair_set.add((small, big))
-    cont_metrics["n_cont_pairs"] = len(pair_set)
-    if not pair_set:
+        by_size.setdefault(len(g), []).append(g)
+    xs_parts, ys_parts = [], []
+    for s, gs in by_size.items():
+        mat = np.asarray(gs, np.int64)  # (k, s)
+        ii, jj = np.triu_indices(s, k=1)
+        xs_parts.append(mat[:, ii].reshape(-1))
+        ys_parts.append(mat[:, jj].reshape(-1))
+    xs = np.concatenate(xs_parts)
+    ys = np.concatenate(ys_parts)
+    nx, ny = _counts_of(xs), _counts_of(ys)
+    # orient (small, big) by shingle count, prune empties and pairs the
+    # LSH tier owns (ratio ⇒ J ≥ τ if contained)
+    keep = (nx > 0) & (ny > 0) & (np.minimum(nx, ny) < ratio_cap * np.maximum(nx, ny))
+    swap = nx > ny
+    small = np.where(swap, ys, xs)[keep]
+    big = np.where(swap, xs, ys)[keep]
+    if small.size:
+        pairs_arr = np.unique(np.stack([big, small], axis=1), axis=0)
+    else:
+        pairs_arr = np.empty((0, 2), np.int64)
+    cont_metrics["n_cont_pairs"] = len(pairs_arr)
+    if not len(pairs_arr):
         if metrics_out is not None:
             metrics_out.update(cont_metrics)
         return []
     # group by big doc so each suffix array is built exactly once
-    by_big: dict[int, list[int]] = {}
-    for small, big in pair_set:
-        by_big.setdefault(big, []).append(small)
-    groups = [(big, tuple(sorted(smalls))) for big, smalls in sorted(by_big.items())]
+    # (pairs_arr is sorted by big — contiguous slices per big doc)
+    bigs = pairs_arr[:, 0]
+    bounds = np.flatnonzero(np.concatenate([[True], bigs[1:] != bigs[:-1]]))
+    bounds = np.append(bounds, len(bigs))
+    groups = [
+        (int(bigs[lo]), tuple(np.sort(pairs_arr[lo:hi, 1]).tolist()))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
 
     # fetch normalized contents for pair members only (semi-join
     # broadcast of the needed-id array; filter first, THEN normalize)
@@ -400,21 +538,7 @@ def containment_edges(
         sorted({d for big, smalls in groups for d in (big, *smalls)}), np.int64
     )
     need_ref = ray.put(needed)
-
-    def _content_filter(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
-        t = t.filter(pa.array(mask))
-        return pa.table(
-            {"doc_id": t["doc_id"], "content_norm": normalize(t["content"])}
-        )
-
-    texts: dict[int, str] = {}
-    for bt in corpus.map_batches(_content_filter, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for d, c in zip(bt["doc_id"].to_pylist(), bt["content_norm"].to_pylist()):
-            texts[d] = c
+    texts: dict[int, str] = dict(_fetch_normalized_texts(corpus, need_ref))
 
     # distribute verification as CHUNKED ray tasks over (big, smalls)
     # work items: each big doc's suffix array is built EXACTLY once, the
@@ -594,6 +718,22 @@ def cluster_corpus(
             resumed.append("lsh_buckets")
     else:
         pair_rows = _build_pairs()
+
+    # Containment anchor-group discovery depends only on `signed`, so
+    # its shuffle runs CONCURRENTLY with edge collection + verification
+    # (two driver threads sharing the Ray CPU pool) — the cluster-rep
+    # pruning that needs the verified components happens afterwards on
+    # the driver with identical results (see _containment_discover_groups).
+    from concurrent.futures import ThreadPoolExecutor
+
+    cont_detail: dict = {}
+    f_groups = None
+    pool = None
+    if with_containment:
+        pool = ThreadPoolExecutor(max_workers=1)
+        f_groups = pool.submit(
+            _containment_discover_groups, signed, cfg, cont_detail
+        )
     edge_a, edge_b, size_hist = _collect_edges_and_sizes(pair_rows)
     verified, vmetrics = _verify_edges(edge_a, edge_b, signed, corpus, cfg)
     t_lsh = time.perf_counter()
@@ -601,16 +741,33 @@ def cluster_corpus(
     uf = UnionFind()
     uf.add_edges(verified)
 
-    cont_detail: dict = {}
     cont_edges: list[tuple[int, int]] = []
     if with_containment:
-        cont_edges = containment_edges(
-            corpus, signed, cfg, uf.components(), metrics_out=cont_detail
+        raw_groups = f_groups.result()
+        pool.shutdown()
+        cont_edges = _containment_verify(
+            corpus, signed, cfg, raw_groups, uf.components(),
+            metrics_out=cont_detail,
         )
         uf.add_edges(cont_edges)
     t_cont = time.perf_counter()
 
-    comp = uf.components()
+    all_edges = verified + cont_edges
+    if len(all_edges) > cfg.distributed_components_threshold:
+        # edge volume exceeds what a driver union-find should own →
+        # resolve components with distributed min-label propagation
+        # (same node → min-component-id contract, tested equivalent)
+        from cloud_dedup_ray.state.union_find import (
+            label_propagation_components,
+        )
+
+        ea = np.fromiter((e[0] for e in all_edges), np.int64, len(all_edges))
+        eb = np.fromiter((e[1] for e in all_edges), np.int64, len(all_edges))
+        comp = label_propagation_components(
+            ray.data.from_arrow(pa.table({"a": ea, "b": eb}))
+        )
+    else:
+        comp = uf.components()
     comp_keys = np.fromiter(comp.keys(), np.int64, len(comp))
     comp_vals = np.fromiter(comp.values(), np.int64, len(comp))
     korder = np.argsort(comp_keys)

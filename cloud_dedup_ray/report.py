@@ -77,7 +77,80 @@ th{background:#f3f3f3}
 .identical{background:#d9f2d9}.different{background:#f8d2d2}
 .unverified{background:#f4ecc9}.mixed_type{background:#f8d2d2}
 .warn{color:#a33}
+.sym-is{color:#2a7}.sym-id{color:#888}.sym-dd{color:#a33}
+.sym-dp{color:#b70}.sym-uniq{color:#26c}.sym-symlink{color:#888}
+.tree-file{font-size:.8rem;margin-left:1.2rem}
+.tree-file-section{font-size:.72rem;color:#888;margin:.25rem 0 0 .8rem;
+text-transform:uppercase;letter-spacing:.04em}
 """
+
+
+def _file_sym(content_match: str, version_status: str,
+              is_symlink: bool = False) -> tuple[str, str]:
+    """(symbol, css class) for one classified file — same symbol grid as
+    the reference's ``_file_sym`` (:719-733)."""
+    if is_symlink:
+        return ("↪", "sym-symlink")
+    if content_match == "mixed_type":
+        return ("↪⚠", "sym-dd")
+    if content_match in ("identical", "unverified") and version_status == "same":
+        return ("★", "sym-is")
+    if content_match in ("identical", "unverified") and version_status == "diverged":
+        return ("✓", "sym-id")
+    if content_match == "different" and version_status == "diverged":
+        return ("⚠", "sym-dd")
+    if content_match == "different" and version_status == "phantom":
+        return ("⚡", "sym-dp")
+    return ("~", "sym-id")
+
+
+def _file_classifications(result: dict[str, Any]) -> dict[tuple[str, str], dict]:
+    """(name_lower, folder) → classification info for the tree renderer,
+    rebuilt from the result's own group lists (reference builds the same
+    lookup at :484-523; conflicts indexed by rel_path-sorted position so
+    the §4 anchors line up)."""
+    import posixpath
+
+    def folder_of(rel_path: str) -> str:
+        parent = posixpath.dirname(rel_path)
+        return parent if parent else "(root)"
+
+    lookup: dict[tuple[str, str], dict] = {}
+    conflicts = sorted(
+        result.get("conflict_groups", []), key=lambda g: g["rel_path"]
+    )
+    for i, g in enumerate(conflicts):
+        lookup[(g["name_orig"].lower(), folder_of(g["rel_path"]))] = {
+            "content_match": g["content_match"],
+            "version_status": g["version_status"],
+            "conflict_index": i,
+            "is_symlink": False,
+            "symlink_target": None,
+        }
+    for g in result.get("duplicate_groups", []):
+        key = (g["name_orig"].lower(), folder_of(g["rel_path"]))
+        if key not in lookup:
+            lookup[key] = {
+                "content_match": g["content_match"],
+                "version_status": g["version_status"],
+                "conflict_index": None,
+                "is_symlink": False,
+                "symlink_target": None,
+            }
+    for s in result.get("symlinks", []):
+        key = (s["name_orig"].lower(), folder_of(s["rel_path"]))
+        target = next(
+            (v for v in s.get("symlink_targets", {}).values() if v), None
+        )
+        if key not in lookup:
+            lookup[key] = {
+                "content_match": "symlink",
+                "version_status": s.get("symlink_status", "target_identical"),
+                "conflict_index": None,
+                "is_symlink": True,
+                "symlink_target": target,
+            }
+    return lookup
 
 
 def _esc(x: Any) -> str:
@@ -88,7 +161,11 @@ def _badge(text: str) -> str:
     return f'<span class="badge {_esc(text)}">{_esc(text)}</span>'
 
 
-def _group_table(groups: list[dict], labels: list[str]) -> str:
+def _group_table(
+    groups: list[dict], labels: list[str], anchor_prefix: str | None = None
+) -> str:
+    """``anchor_prefix`` adds ``id="<prefix>-<i>"`` per rel_path-sorted
+    row so the folder tree's per-file §4 links resolve."""
     if not groups:
         return "<p>None.</p>"
     head = (
@@ -96,10 +173,11 @@ def _group_table(groups: list[dict], labels: list[str]) -> str:
         "<th>Newest in</th><th>Age Δ (days)</th><th>Services</th></tr>"
     )
     rows = []
-    for g in sorted(groups, key=lambda g: g["rel_path"]):
+    for i, g in enumerate(sorted(groups, key=lambda g: g["rel_path"])):
         svc = ", ".join(sorted(g.get("service_details", {})))
+        row_id = f' id="{anchor_prefix}-{i}"' if anchor_prefix else ""
         rows.append(
-            "<tr>"
+            f"<tr{row_id}>"
             f"<td>{_esc(g['rel_path'])}</td>"
             f"<td>{_esc(human_size(g.get('size', 0)))}</td>"
             f"<td>{_badge(g.get('content_match', ''))}</td>"
@@ -132,7 +210,78 @@ def build_folder_tree(folder_comparisons: list[dict]) -> dict:
     return tree
 
 
-def _render_folder_tree(folder_comparisons: list[dict]) -> str:
+def _render_file_list(
+    fpath: str,
+    names_by_folder: dict[str, dict[str, list[str]]],
+    file_cls: dict[tuple[str, str], dict],
+    labels: list[str],
+) -> str:
+    """Per-file rows of one folder node: shared files carry their
+    classification symbol (+§4 anchor for conflicts, target for
+    symlinks); single-service files group under "Only in <label>"
+    (reference render_node :1009-1060)."""
+    per_label = names_by_folder.get(fpath, {})
+    if not per_label:
+        return ""
+    all_names: set[str] = set()
+    for names in per_label.values():
+        all_names.update(names)
+
+    parts: list[str] = []
+    in_multiple: list[tuple[str, dict | None]] = []
+    unique_to: dict[str, list[str]] = {}
+    for fname in sorted(all_names):
+        labels_with = [l for l in labels if fname in per_label.get(l, ())]
+        if len(labels_with) >= 2:
+            in_multiple.append((fname, file_cls.get((fname, fpath))))
+        elif labels_with:
+            unique_to.setdefault(labels_with[0], []).append(fname)
+
+    if in_multiple:
+        parts.append('<div class="tree-file-section">Shared across services</div>')
+        for fname, info in in_multiple:
+            if info:
+                sym, cls = _file_sym(
+                    info["content_match"], info["version_status"],
+                    is_symlink=info.get("is_symlink", False),
+                )
+                link = ""
+                if info.get("conflict_index") is not None:
+                    link = (
+                        f' <a href="#action-{info["conflict_index"]}"'
+                        ' style="font-size:10px;color:#888">&rarr;&nbsp;&sect;4</a>'
+                    )
+                target = ""
+                if info.get("is_symlink") and info.get("symlink_target"):
+                    target = (
+                        ' <span style="font-size:11px;color:#888">&rarr; '
+                        f"{_esc(info['symlink_target'])}</span>"
+                    )
+                parts.append(
+                    f'<div class="tree-file"><span class="{cls}">{sym}</span> '
+                    f"{_esc(fname)}{target}{link}</div>"
+                )
+            else:
+                parts.append(f'<div class="tree-file">· {_esc(fname)}</div>')
+    for label in labels:
+        ufiles = unique_to.get(label, [])
+        if ufiles:
+            parts.append(
+                f'<div class="tree-file-section">Only in {_esc(label)}</div>'
+            )
+            for fname in ufiles:
+                parts.append(
+                    '<div class="tree-file"><span class="sym-uniq">&#9670;'
+                    f"</span> {_esc(fname)}</div>"
+                )
+    return "".join(parts)
+
+
+def _render_folder_tree(result: dict[str, Any]) -> str:
+    folder_comparisons = result.get("folder_comparisons", [])
+    names_by_folder = result.get("_file_names_by_folder", {})
+    file_cls = _file_classifications(result)
+    labels = result.get("labels", [])
     tree = build_folder_tree(folder_comparisons)
 
     def render(nodes: dict) -> str:
@@ -140,14 +289,18 @@ def _render_folder_tree(folder_comparisons: list[dict]) -> str:
         for name, node in sorted(nodes.items()):
             fc = node["_fc"]
             label = _esc(name)
+            files_html = ""
             if fc:
                 label += (
                     f" {_badge(fc.get('relationship', ''))}"
                     f" <small>subtree: {_esc(fc.get('subtree_status', ''))},"
                     f" {fc.get('subtree_total_files', 0)} files</small>"
                 )
+                files_html = _render_file_list(
+                    fc["folder_path"], names_by_folder, file_cls, labels
+                )
             child_html = render(node["_children"]) if node["_children"] else ""
-            items.append(f"<li>{label}{child_html}</li>")
+            items.append(f"<li>{label}{files_html}{child_html}</li>")
         return f"<ul>{''.join(items)}</ul>" if items else ""
 
     return render(tree)
@@ -202,7 +355,7 @@ def render_html(result: dict[str, Any]) -> str:
     parts.append("<h2>3 · Folder relationships</h2>")
     fcs = result.get("folder_comparisons", [])
     if fcs:
-        parts.append(_render_folder_tree(fcs))
+        parts.append(_render_folder_tree(result))
     rc = result.get("relationship_counts", {})
     if rc:
         parts.append("<table><tr><th>Relationship</th><th>Folders</th></tr>")
@@ -220,7 +373,10 @@ def render_html(result: dict[str, Any]) -> str:
 
     # §4 files requiring action (conflicts + diverged symlinks)
     parts.append("<h2>4 · Files requiring action</h2>")
-    parts.append(_group_table(result.get("conflict_groups", []), labels))
+    parts.append(
+        _group_table(result.get("conflict_groups", []), labels,
+                     anchor_prefix="action")
+    )
     div_syms = [
         s for s in result.get("symlinks", [])
         if s.get("symlink_status") == "target_diverged"
@@ -325,7 +481,9 @@ def stdout_summary(result: dict[str, Any]) -> str:
 # file sinks (reference :1447-1459)
 # ---------------------------------------------------------------------------
 
-_PRIVATE_KEYS = {"_file_classifications", "_scanned_records"}
+_PRIVATE_KEYS = {
+    "_file_classifications", "_scanned_records", "_file_names_by_folder",
+}
 
 
 def write_reports(result: dict[str, Any], output_path: str) -> tuple[str, str]:

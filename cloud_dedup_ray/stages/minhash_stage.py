@@ -161,17 +161,28 @@ def emit_bucket_pairs(cap: int):
                 a, bb = a[keep], bb[keep]
             a_out.append(a)
             b_out.append(bb)
-        n_pairs = sum(len(x) for x in a_out)
         size_vals, size_counts = np.unique(
             np.asarray(sizes, np.int64), return_counts=True
         )
+        if a_out:
+            # in-task dedup: the same pair recurs across bands that hash
+            # into this partition — dropping repeats here shrinks what
+            # the driver has to unique by the per-partition multiplicity
+            pairs = np.unique(
+                np.stack([np.concatenate(a_out), np.concatenate(b_out)], axis=1),
+                axis=0,
+            )
+            pa_a, pa_b = pairs[:, 0], pairs[:, 1]
+        else:
+            pa_a = pa_b = np.empty(0, np.int64)
+        n_pairs = len(pa_a)
         return pa.table(
             {
                 "a": np.concatenate(
-                    a_out + [np.full(len(size_vals), -1, np.int64)]
+                    [pa_a, np.full(len(size_vals), -1, np.int64)]
                 ),
                 "b": np.concatenate(
-                    b_out + [size_counts.astype(np.int64)]
+                    [pa_b, size_counts.astype(np.int64)]
                 ),
                 "bucket_size": np.concatenate(
                     [np.zeros(n_pairs, np.int64), size_vals]

@@ -138,5 +138,56 @@ def test_build_folder_tree_nesting():
     assert set(tree) == {"(root)", "a", "c"}
     assert set(tree["a"]["_children"]) == {"b"}
     assert tree["a"]["_children"]["b"]["_fc"]["subtree_total_files"] == 2
-    html = _render_folder_tree(fcs)
+    html = _render_folder_tree({"folder_comparisons": fcs, "labels": []})
     assert "subtree: identical" in html and "<ul>" in html
+
+
+def test_folder_tree_per_file_badges():
+    """J6 full use: the tree lists each folder's files with the
+    reference's per-file classification symbols (render_node
+    :1009-1060 + _file_sym :719-733)."""
+    from cloud_dedup_ray.report import _render_folder_tree, render_html
+
+    result = {
+        "labels": ["A", "B"],
+        "total_files": {"A": 3, "B": 2},
+        "unique_counts": {"A": 1, "B": 0},
+        "duplicate_groups": [
+            {"rel_path": "docs/same.txt", "name_orig": "same.txt", "size": 4,
+             "content_match": "identical", "version_status": "same",
+             "newest_in": None, "age_difference_days": 0.0,
+             "service_details": {"A": {}, "B": {}}},
+        ],
+        "conflict_groups": [
+            {"rel_path": "docs/clash.txt", "name_orig": "clash.txt", "size": 4,
+             "content_match": "different", "version_status": "diverged",
+             "newest_in": "B", "age_difference_days": 1.5,
+             "service_details": {"A": {}, "B": {}}},
+        ],
+        "symlinks": [
+            {"rel_path": "docs/ln", "name_orig": "ln", "folder": "docs",
+             "symlink_status": "target_diverged", "services": ["A", "B"],
+             "symlink_targets": {"A": "/t1", "B": "/t2"}},
+        ],
+        "folder_comparisons": [
+            {"folder_path": "docs", "relationship": "identical",
+             "subtree_status": "partial", "subtree_total_files": 4},
+        ],
+        "_file_names_by_folder": {
+            "docs": {"A": ["clash.txt", "ln", "only_a.txt", "same.txt"],
+                     "B": ["clash.txt", "ln", "same.txt"]},
+        },
+        "pairwise_counts": {}, "all_services_count": 0,
+        "relationship_counts": {}, "safe_to_delete_roots": [],
+    }
+    tree = _render_folder_tree(result)
+    # identical+same duplicate → ★ ; different+diverged conflict → ⚠
+    # with a §4 anchor ; symlink → ↪ with its target ; single-service → ◆
+    assert '<span class="sym-is">★</span> same.txt' in tree
+    assert '<span class="sym-dd">⚠</span> clash.txt' in tree
+    assert 'href="#action-0"' in tree
+    assert '<span class="sym-symlink">↪</span> ln' in tree and "/t1" in tree
+    assert "Only in A" in tree and "only_a.txt" in tree
+    # §4 table carries the matching anchor id
+    page = render_html(result)
+    assert 'id="action-0"' in page

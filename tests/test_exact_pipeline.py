@@ -195,3 +195,29 @@ def test_multi_commit_same_path_deterministic_representative():
         assert len(dup) == 1 and len(res.conflict_groups.to_pandas()) == 0
         assert dup.iloc[0].content_match == "identical"
         assert dup.iloc[0].version_status == "same"
+
+
+def test_distributed_folder_path_matches_driver(small_corpus):
+    """folder_mode="distributed" (groupby(repo,folder) reduce + ancestor
+    explode + per-folder compare in group tasks) must produce exactly
+    the driver-merge path's folder comparisons, relationship counts and
+    safe roots."""
+    cfg = DedupConfig()
+    ds = ray.data.from_arrow(small_corpus)
+    drv = analyze_corpus(ds, cfg, folder_mode="driver")
+    dist = analyze_corpus(ds, cfg, folder_mode="distributed")
+
+    def strip(fcs):
+        return [
+            {k: v for k, v in fc.items()}
+            for fc in sorted(fcs, key=lambda f: f["folder_path"])
+        ]
+
+    assert strip(dist.folder_comparisons) == strip(drv.folder_comparisons)
+    assert dist.relationship_counts == drv.relationship_counts
+    assert [f["folder_path"] for f in dist.safe_to_delete_roots] == [
+        f["folder_path"] for f in drv.safe_to_delete_roots
+    ]
+    # the distributed path does not centralize name lists
+    assert dist.file_names_by_folder == {}
+    assert drv.file_names_by_folder  # driver path still feeds the tree

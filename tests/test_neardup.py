@@ -182,6 +182,29 @@ def test_simhash_pairs_complete_vs_bruteforce():
     assert got == truth
 
 
+def test_distributed_components_swapin_matches_driver_uf(small_corpus):
+    """Forcing the label-propagation reducer (threshold 0) must yield
+    byte-identical cluster assignments to the driver union-find."""
+    import dataclasses
+
+    from cloud_dedup_ray.config import DedupConfig
+    from cloud_dedup_ray.pipelines.neardup import cluster_corpus
+    from cloud_dedup_ray.stages.project import project_corpus
+
+    corpus = (
+        project_corpus(ray.data.from_arrow(small_corpus), drop_content=False)
+        .filter(expr="is_symlink == False")
+        .materialize()
+    )
+    base = DedupConfig()
+    forced = dataclasses.replace(base, distributed_components_threshold=0)
+    a1 = {r["doc_id"]: r["cluster_id"]
+          for r in cluster_corpus(corpus, base).assignments.take_all()}
+    a2 = {r["doc_id"]: r["cluster_id"]
+          for r in cluster_corpus(corpus, forced).assignments.take_all()}
+    assert a1 == a2
+
+
 def test_ngram_jaccard_pairs_match_bruteforce():
     """The distributed pipeline (char-n-gram MinHash-LSH blocking +
     exact chunked verify) must emit exactly the brute-force pair set
