@@ -70,7 +70,15 @@ def run_bench() -> dict:
     read_corpus(corpus_dir).count()
 
     queries: dict[str, float] = {}
-    cfg = DedupConfig(signer_concurrency=(2, max(2, num_cpus // 2)))
+    # Size the signer pool to the batch count, not just the CPU count:
+    # on this host every fresh actor process pays ~0.5-1 s of first-touch
+    # page faults, so 16 actors × 3 batches each is slower than 8 × 7.
+    n_files = int(os.environ.get("GRAFT_BENCH_N", "0")) or {
+        0.001: 600, 0.01: 2000, 0.1: 20000
+    }.get(sf, 2000)
+    n_batches = max(1, (n_files * 10 // 7) // 2048)  # rows ≈ 1.43 × files
+    max_signers = max(2, min(num_cpus // 2, n_batches // 4 or 1))
+    cfg = DedupConfig(signer_concurrency=(2, max_signers))
 
     # --- headline: end-to-end two-tier dedup over the code corpus.
     # The two tiers are independent jobs; they run OVERLAPPED (two
@@ -185,12 +193,22 @@ def run_scaling() -> dict:
     # corpus is therefore larger than the per-round bench corpus.
     scale_n = os.environ.get("GRAFT_BENCH_N", "80000")
 
+    import shutil as _shutil
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_N=scale_n)
+        # `ray.init(num_cpus=N)` is only a scheduling token — an N=8
+        # child still sees all physical cores and the full memory
+        # bandwidth, which fakes the small-cluster level. Pin the child
+        # (and every Ray worker it forks) to N cores so the two levels
+        # measure real hardware scaling, as two cluster sizes would.
+        cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")]
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         last_err = ""
         for _attempt in range(2):
             p = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+                cmd,
                 env=env, capture_output=True, text=True,
             )
             if p.returncode == 0 and p.stdout.strip():
@@ -219,8 +237,9 @@ def run_scaling() -> dict:
         f"steady_{hi}": r_hi.get("steady_secs"),
         "sf": r_lo["sf"],
         "note": (
-            "single-host logical-CPU oversubscription (nproc=1); "
-            "two fresh ray.init processes on identical input"
+            "two fresh ray.init processes on identical input, each "
+            "taskset-pinned to its CPU count so the small level cannot "
+            "borrow the full host's cores/bandwidth"
         ),
     }
 

@@ -566,10 +566,18 @@ def _containment_verify(
     cont_metrics["n_docs_fetched"] = len(texts)
     cont_metrics["sec_cont_fetch"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    docs_ref = ray.put(texts)
+    # contiguous chunks over the big-sorted groups, each shipped with
+    # ONLY its own docs — a single shared dict would be deserialized in
+    # full by every task (n_chunks × corpus-subset bytes of unpickling)
     n_chunks = min(64, len(groups))
-    chunks = [groups[i::n_chunks] for i in range(n_chunks)]
-    futures = [_verify_chunk.remote(c, docs_ref) for c in chunks]
+    step = -(-len(groups) // n_chunks)
+    chunks = [groups[i : i + step] for i in range(0, len(groups), step)]
+    futures = []
+    for c in chunks:
+        need = {d for big_doc, smalls in c for d in (big_doc, *smalls)}
+        futures.append(
+            _verify_chunk.remote(c, {d: texts[d] for d in need})
+        )
     edges: list[tuple[int, int]] = []
     for res in ray.get(futures):
         edges.extend(res)
