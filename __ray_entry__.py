@@ -90,10 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
-    def cd_folder_comparisons(sf_dir):
+    def _folder_frame(res):
         import pandas as pd
 
-        res = _exact_result(sf_dir)
         return pd.DataFrame(
             [
                 {
@@ -107,6 +106,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 for fc in res.folder_comparisons
             ]
         ).sort_values("folder_path").reset_index(drop=True)
+
+    def cd_folder_comparisons(sf_dir):
+        return _folder_frame(_exact_result(sf_dir))
+
+    def cd_folder_comparisons_distributed(sf_dir):
+        """Same comparison table via the at-scale path: groupby(repo,
+        folder) distinct-name reduce + per-folder compare in group tasks
+        (exact.py::folder_comparison_rows_distributed) — must match
+        cd_folder_comparisons row for row (pytest asserts equality; the
+        driver check is rows-only because the semantics are the corpus
+        pipeline's, not SQL's)."""
+        from cloud_dedup_ray.config import DedupConfig
+        from cloud_dedup_ray.pipelines.exact import analyze_corpus
+        from cloud_dedup_ray.sources.corpus import read_corpus
+
+        res = analyze_corpus(
+            read_corpus(_corpus_dir(sf_dir)), DedupConfig(),
+            folder_mode="distributed",
+        )
+        return _folder_frame(res)
 
     def cd_counts(sf_dir):
         import pandas as pd
@@ -199,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cd_conflict_groups": cd_conflict_groups,
         "cd_symlinks": cd_symlinks,
         "cd_folder_comparisons": cd_folder_comparisons,
+        "cd_folder_comparisons_distributed": cd_folder_comparisons_distributed,
         "cd_counts": cd_counts,
         "cd_safe_roots": cd_safe_roots,
         # near-dup tier over the deterministic corpus
