@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None) -> int:
     res = analyze_corpus(corpus, cfg)
     result = res.to_result_dict()
     result["mtime_fuzz"] = args.mtime_fuzz
+    result["generated_at"] = datetime.now().strftime("%Y-%m-%d %H:%M")
+    result["dirs"] = (
+        {label: args.corpus for label in result["labels"]}
+        if args.corpus else roots
+    )
     if warnings:
         result["scan_warnings"] = {"scan": warnings}
 

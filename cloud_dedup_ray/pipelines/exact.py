@@ -293,9 +293,16 @@ class ExactResult:
                         "newest_in": g["newest_in"],
                         "age_difference_days": g["age_difference_days"],
                         "service_details": {
-                            repo: {"size": int(s), "mtime_raw": float(m)}
-                            for repo, s, m in zip(
-                                g["member_repos"], g["member_sizes"], g["member_mtimes"]
+                            repo: {
+                                "size": int(s),
+                                "mtime_raw": float(m),
+                                "is_symlink": bool(sym),
+                                "symlink_target": (tgt or None),
+                            }
+                            for repo, s, m, sym, tgt in zip(
+                                g["member_repos"], g["member_sizes"],
+                                g["member_mtimes"], g["member_is_symlink"],
+                                g["member_targets"],
                             )
                         },
                     }

@@ -65,11 +65,13 @@ def scan_filesystem(
                 rel = os.path.relpath(full, root)
                 is_link = os.path.islink(full)
                 if is_link:
+                    # Non-strict resolution (reference :154 Path.resolve()):
+                    # dangling symlinks keep their resolved target string,
+                    # so two links to the same missing target still compare
+                    # target_identical.
                     try:
                         target = os.path.realpath(full)
                     except OSError:
-                        target = None
-                    if target is not None and not os.path.exists(target):
                         target = None
                     size, mtime = -1, 0.0
                 else:

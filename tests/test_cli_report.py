@@ -59,7 +59,10 @@ def test_cli_end_to_end(tmp_path, capsys):
 
     assert os.path.exists(out)
     html = open(out).read()
-    assert "docs/report.txt" in html and "src/app.py" in html
+    assert "report.txt" in html and "app.py" in html
+    # §1 stat cards + directories table, §4 per-service detail cells
+    assert "stat-card" in html and a in html
+    assert "service-detail" in html
     result = json.load(open(str(tmp_path / "rep.json")))
     assert result["total_files"] == {"A": 3, "B": 2}
     assert len(result["duplicate_groups"]) == 1
@@ -112,10 +115,13 @@ def test_render_sections_and_pair_stats():
     assert ps["A↔B"][("identical", "same")] == 1
     assert ps["A↔B"][("different", "diverged")] == 1  # conflicts included (A6)
     html = render_html(result)
-    for frag in ("1 · File counts", "2 · Pairwise summary",
-                 "3 · Folder relationships", "4 · Files requiring action",
-                 "5 · Duplicate files", "target_diverged", "docs"):
+    for frag in ("1. File Counts", "2. Duplicate File Summary",
+                 "3. Folder Structure Analysis", "4. Files Requiring Action",
+                 "5. Duplicate Files", "target_diverged", "docs",
+                 "stat-card", "Diverged Symlinks"):
         assert frag in html
+    # §2 chip cells: 1 identical / 1 different, row tinted by diverged
+    assert "1 identical" in html and "1 different" in html
     txt = stdout_summary(result)
     assert "Duplicate groups : 1" in txt
     assert "1 file(s) require action" in txt
@@ -139,7 +145,12 @@ def test_build_folder_tree_nesting():
     assert set(tree["a"]["_children"]) == {"b"}
     assert tree["a"]["_children"]["b"]["_fc"]["subtree_total_files"] == 2
     html = _render_folder_tree({"folder_comparisons": fcs, "labels": []})
-    assert "subtree: identical" in html and "<ul>" in html
+    # collapsible nodes with the reference's subtree-status symbols
+    assert "<details>" in html and "a/</strong>" in html
+    assert '<span class="sym-is">★</span>' in html      # identical subtree
+    assert '<span class="sym-uniq">◆</span>' in html    # unique subtree
+    assert "2 subfolders" not in html  # "a" has exactly 1 subfolder
+    assert "1 subfolders" in html
 
 
 def test_folder_tree_per_file_badges():
@@ -191,3 +202,30 @@ def test_folder_tree_per_file_badges():
     # §4 table carries the matching anchor id
     page = render_html(result)
     assert 'id="action-0"' in page
+
+
+def test_dangling_symlink_targets_survive_scan(tmp_path):
+    """Reference parity (:152-167): Path.resolve() is non-strict, so a
+    dangling symlink keeps its resolved target string — two links to the
+    SAME missing target are target_identical, different missing targets
+    are target_diverged (and the report shows both targets)."""
+    import json as _json
+
+    a, b = str(tmp_path / "A"), str(tmp_path / "B")
+    os.makedirs(a), os.makedirs(b)
+    os.symlink("/missing/shared", os.path.join(a, "same.cfg"))
+    os.symlink("/missing/shared", os.path.join(b, "same.cfg"))
+    os.symlink("/missing/one", os.path.join(a, "diff.cfg"))
+    os.symlink("/missing/two", os.path.join(b, "diff.cfg"))
+    make_file(a, "pad.txt", b"p")
+    make_file(b, "pad.txt", b"p")
+
+    out = str(tmp_path / "rep.html")
+    assert main([f"A:{a}", f"B:{b}", "-o", out]) == 0
+    result = _json.load(open(str(tmp_path / "rep.json")))
+    by_path = {s["rel_path"]: s for s in result["symlinks"]}
+    assert by_path["same.cfg"]["symlink_status"] == "target_identical"
+    assert by_path["same.cfg"]["symlink_targets"]["A"] == "/missing/shared"
+    assert by_path["diff.cfg"]["symlink_status"] == "target_diverged"
+    html = open(out).read()
+    assert "/missing/one" in html and "/missing/two" in html

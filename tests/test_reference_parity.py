@@ -57,7 +57,7 @@ def corpus_rows(services):
                 }
             )
         for rel, target in symlinks:
-            resolved = os.path.realpath(target) if os.path.exists(target) else None
+            resolved = os.path.realpath(target)  # non-strict, like the scanner
             rows.append(
                 {
                     "repo": label,
