@@ -67,6 +67,12 @@ class DedupConfig:
     distributed_components_threshold: int = 5_000_000
     #: rows per batch for the hashing / signing stages
     batch_size: int = 2048
+    #: 'task' = task-pool signing with the signer cached per worker
+    #: process (workers are REUSED across executions — no per-run actor
+    #: startup/warmup; the state is deterministic from this config so it
+    #: needs no actor identity); 'actor' = classic stateful actor pool
+    #: sized by ``signer_concurrency``.
+    signer_mode: str = "task"
     #: actor-pool size for the MinHash signer: (min, max)
     signer_concurrency: tuple[int, int] = (2, 8)
     #: checkpoint root (per-stage parquet + lineage manifests); None = off

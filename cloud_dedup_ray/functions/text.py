@@ -81,13 +81,19 @@ class TokenHashCache:
     the k-shingle hash is then a vectorized rolling polynomial over the
     token-hash array (position-sensitive, mod 2^64)."""
 
-    __slots__ = ("cache",)
+    __slots__ = ("cache", "max_entries")
 
-    def __init__(self) -> None:
+    def __init__(self, max_entries: int = 1 << 20) -> None:
+        # Bounded so a cache living in a long-lived (reused) Ray task
+        # worker can't grow with the corpus vocabulary forever; a full
+        # reset is cheap and correctness-neutral (pure memoization).
         self.cache: dict[str, int] = {}
+        self.max_entries = max_entries
 
     def hash_tokens(self, toks: list[str]) -> np.ndarray:
         c = self.cache
+        if len(c) > self.max_entries:
+            c.clear()
         out = np.empty(len(toks), np.uint64)
         for i, t in enumerate(toks):
             h = c.get(t)

@@ -1,6 +1,7 @@
 """Near-duplicate clustering pipeline — the north-star tier.
 
-    corpus → map_batches(MinHashSigner actor pool)        [stateful]
+    corpus → map_batches(MinHash signer; task pool with a
+             per-worker-process state cache, or actor pool)  [stateful]
            → flat_map band rows → groupby(band, hash)      [shuffle]
            → capped candidate pairs → signature verify
            → (+ suffix-array containment pass)             [shuffle]
@@ -38,6 +39,7 @@ from cloud_dedup_ray.stages.minhash_stage import (
     add_bucket_partition,
     emit_bucket_pairs,
     explode_bands,
+    make_sign_fn,
 )
 from cloud_dedup_ray.state.union_find import UnionFind
 
@@ -588,7 +590,21 @@ def _containment_verify(
 
 
 def sign_dataset(corpus: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
-    """The MinHash signing stage: stateful actor pool over Arrow batches."""
+    """The MinHash signing stage over Arrow batches.
+
+    ``cfg.signer_mode`` picks the execution form: ``"task"`` (default)
+    runs a plain task-pool ``map_batches`` whose signer state is cached
+    per worker process (``stages/minhash_stage.make_sign_fn``) — Ray
+    reuses task workers across executions, so repeated runs skip the
+    per-run actor startup; ``"actor"`` is the classic stateful actor
+    pool. Both produce byte-identical signatures (seeded state)."""
+    if cfg.signer_mode == "task":
+        return corpus.map_batches(
+            make_sign_fn(cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            num_cpus=1,
+        )
     return corpus.map_batches(
         MinHashSigner,
         fn_constructor_kwargs={"cfg": cfg},

@@ -76,6 +76,36 @@ class MinHashSigner:
         )
 
 
+# --------------------------------------------------------------------------
+# task-pool signing: per-worker-PROCESS signer cache
+# --------------------------------------------------------------------------
+#
+# The signer's state is deterministic from the config (seeded permutation
+# tables + an empty memo cache), so it doesn't need actor identity — it can
+# live in a module-level cache inside whatever worker process runs the task.
+# Ray REUSES task workers across dataset executions, while a map_batches
+# actor pool starts fresh actor processes per execution; on hosts where
+# process startup is expensive (lazily-backed VMs pay ~0.5–1 s of
+# first-touch page faults per fresh process) the task form removes that
+# recurring warmup from every run after the first. Keyed by the config
+# fingerprint so concurrent pipelines with different configs coexist.
+_SIGNER_CACHE: dict[str, MinHashSigner] = {}
+
+
+def make_sign_fn(cfg: DedupConfig):
+    """Plain-function form of the signing stage for a task-pool
+    ``map_batches`` (``cfg.signer_mode == "task"``)."""
+    key = cfg.fingerprint()
+
+    def sign_batch(batch: pa.Table) -> pa.Table:
+        signer = _SIGNER_CACHE.get(key)
+        if signer is None:
+            signer = _SIGNER_CACHE[key] = MinHashSigner(cfg)
+        return signer(batch)
+
+    return sign_batch
+
+
 def explode_bands(batch: pa.Table) -> pa.Table:
     """(doc_id, bands[list]) → one row per (bucket_key, doc_id), where
     ``bucket_key = splitmix64(band_hash ^ f(band_id))`` packs the

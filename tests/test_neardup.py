@@ -237,3 +237,26 @@ def test_ngram_jaccard_pairs_match_bruteforce():
             if j >= 0.75:
                 truth.append((a, b, round(j, 6)))
     assert list(got.itertuples(index=False, name=None)) == sorted(truth)
+
+
+def test_task_and_actor_signers_byte_identical(small_corpus):
+    """signer_mode='task' (per-worker-process cached state) and
+    signer_mode='actor' (stateful actor pool) must produce byte-identical
+    signatures, bands and anchors — the state is deterministic from the
+    config either way."""
+    from cloud_dedup_ray.pipelines.neardup import sign_dataset
+
+    ds = ray.data.from_arrow(small_corpus)
+    proj = project_corpus(ds, drop_content=False)
+    corpus = proj.filter(expr="is_symlink == False").materialize()
+
+    def rows(mode):
+        cfg = DedupConfig(signer_mode=mode, signer_concurrency=(2, 2))
+        out = sign_dataset(corpus, cfg).to_pandas()
+        return {
+            r.doc_id: (tuple(r.sig), tuple(r.bands), tuple(r.anchors),
+                       r.n_shingles)
+            for r in out.itertuples()
+        }
+
+    assert rows("task") == rows("actor")
