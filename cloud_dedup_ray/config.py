@@ -55,6 +55,11 @@ class DedupConfig:
     bucket_pair_cap: int = 64
     #: bottom-k shingle anchors used to block the substring/containment pass
     containment_anchors: int = 8
+    #: containment-pair signature screen: a contained pair's signature
+    #: Jaccard concentrates at its shingle-count ratio r, so pairs with
+    #: estimate < r − margin are dropped before text fetch / suffix-array
+    #: build. ≈3.3σ of the 128-bin estimator noise; negative disables.
+    containment_sig_margin: float = 0.15
     #: min normalized length for a doc to participate in the near-dup tier
     min_doc_chars: int = 8
 
@@ -102,6 +107,7 @@ class DedupConfig:
             "seed": self.seed,
             "bucket_pair_cap": self.bucket_pair_cap,
             "containment_anchors": self.containment_anchors,
+            "containment_sig_margin": self.containment_sig_margin,
             "min_doc_chars": self.min_doc_chars,
         }
         return hashlib.sha256(

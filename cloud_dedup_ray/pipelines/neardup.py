@@ -125,6 +125,78 @@ def _hist_stats(hist: dict[int, int]) -> dict:
     }
 
 
+def _fetch_signatures(
+    signed: ray.data.Dataset, wanted: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Semi-join the signatures of ``wanted`` doc_ids out of ``signed``
+    (broadcast id-array ``np.isin`` filter) → (ids, sigs) sorted by id.
+    Task wave over block refs when materialized, Dataset job otherwise.
+    Scale path: partitioned hash join of ids × signatures on doc_id
+    (same code shape, no broadcast)."""
+    cand_ref = ray.put(wanted)
+
+    def _sig_block(t: pa.Table, want: np.ndarray):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            e = np.empty(0, np.int64)
+            return e, np.empty((0, 1), np.uint64)
+        ids = np.asarray(t["doc_id"], np.int64)
+        mask = np.isin(ids, want)
+        col = t["sig"].combine_chunks()
+        num_perm = col.type.list_size
+        sigs = np.asarray(col.flatten()).reshape(-1, num_perm)
+        return ids[mask], sigs[mask]
+
+    id_parts: list[np.ndarray] = []
+    sig_parts: list[np.ndarray] = []
+    if _is_materialized(signed):
+        # blocks are in the object store → flat task wave, no Dataset job
+        for ids_part, sig_part in _scan_blocks(signed, _sig_block, cand_ref):
+            if ids_part.size:
+                id_parts.append(ids_part)
+                sig_parts.append(sig_part)
+    else:
+
+        def _sig_filter(t: pa.Table) -> pa.Table:
+            want = ray.get(cand_ref)
+            mask = np.isin(np.asarray(t["doc_id"], np.int64), want)
+            return t.filter(pa.array(mask)).select(["doc_id", "sig"])
+
+        for bt in signed.map_batches(
+            _sig_filter, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            if bt.num_rows == 0:
+                continue
+            id_parts.append(np.asarray(bt["doc_id"], np.int64))
+            num_perm = bt["sig"].type.list_size
+            sig_parts.append(
+                np.asarray(bt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
+            )
+    if not id_parts:
+        return np.empty(0, np.int64), np.empty((0, 1), np.uint64)
+    all_ids = np.concatenate(id_parts)
+    all_sigs = np.concatenate(sig_parts)
+    order = np.argsort(all_ids)
+    return all_ids[order], np.take(all_sigs, order, axis=0)
+
+
+def _estimate_pair_jaccard(
+    all_ids: np.ndarray, all_sigs: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Signature-estimated Jaccard per (a, b) pair against an id-sorted
+    signature matrix. np.take, chunked: numpy's 2D fancy-indexing gather
+    takes a slow element-wise path (~30× slower than take on this
+    workload), and chunking bounds the (pairs × num_perm) temporaries."""
+    est = np.empty(len(a), np.float64)
+    idx_a = np.searchsorted(all_ids, a)
+    idx_b = np.searchsorted(all_ids, b)
+    chunk = 1 << 17
+    for i in range(0, len(a), chunk):
+        sa = np.take(all_sigs, idx_a[i : i + chunk], axis=0)
+        sb = np.take(all_sigs, idx_b[i : i + chunk], axis=0)
+        est[i : i + chunk] = (sa == sb).mean(axis=1)
+    return est
+
+
 def _verify_edges(
     a: np.ndarray,
     b: np.ndarray,
@@ -151,59 +223,9 @@ def _verify_edges(
         return [], {"n_candidates": 0, "n_verified": 0, "n_exact_checked": 0}
     t0 = time.perf_counter()
     cand_ids = np.unique(np.concatenate([a, b]))
-    cand_ref = ray.put(cand_ids)
-
-    def _sig_block(t: pa.Table, wanted: np.ndarray):
-        if t.num_rows == 0 or "doc_id" not in t.schema.names:
-            e = np.empty(0, np.int64)
-            return e, np.empty((0, 1), np.uint64)
-        ids = np.asarray(t["doc_id"], np.int64)
-        mask = np.isin(ids, wanted)
-        col = t["sig"].combine_chunks()
-        num_perm = col.type.list_size
-        sigs = np.asarray(col.flatten()).reshape(-1, num_perm)
-        return ids[mask], sigs[mask]
-
-    id_parts: list[np.ndarray] = []
-    sig_parts: list[np.ndarray] = []
-    if _is_materialized(signed):
-        # blocks are in the object store → flat task wave, no Dataset job
-        for ids_part, sig_part in _scan_blocks(signed, _sig_block, cand_ref):
-            if ids_part.size:
-                id_parts.append(ids_part)
-                sig_parts.append(sig_part)
-    else:
-
-        def _sig_filter(t: pa.Table) -> pa.Table:
-            wanted = ray.get(cand_ref)
-            mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
-            return t.filter(pa.array(mask)).select(["doc_id", "sig"])
-
-        for bt in signed.map_batches(
-            _sig_filter, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            id_parts.append(np.asarray(bt["doc_id"], np.int64))
-            num_perm = bt["sig"].type.list_size
-            sig_parts.append(
-                np.asarray(bt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
-            )
+    all_ids, all_sigs = _fetch_signatures(signed, cand_ids)
     t_fetch = time.perf_counter()
-    all_ids = np.concatenate(id_parts)
-    all_sigs = np.concatenate(sig_parts)
-    order = np.argsort(all_ids)
-    all_ids = all_ids[order]
-    all_sigs = np.take(all_sigs, order, axis=0)
-    # np.take, chunked: numpy's 2D fancy-indexing gather takes a slow
-    # element-wise path (~30× slower than take on this workload), and
-    # chunking bounds the (pairs × num_perm) temporaries.
-    est = np.empty(len(a), np.float64)
-    idx_a = np.searchsorted(all_ids, a)
-    idx_b = np.searchsorted(all_ids, b)
-    chunk = 1 << 17
-    for i in range(0, len(a), chunk):
-        sa = np.take(all_sigs, idx_a[i : i + chunk], axis=0)
-        sb = np.take(all_sigs, idx_b[i : i + chunk], axis=0)
-        est[i : i + chunk] = (sa == sb).mean(axis=1)
+    est = _estimate_pair_jaccard(all_ids, all_sigs, a, b)
     margin = cfg.verify_margin
     accept = est >= cfg.jaccard_threshold + margin
     uncertain = (~accept) & (est >= cfg.jaccard_threshold - margin)
@@ -524,6 +546,34 @@ def _containment_verify(
         if metrics_out is not None:
             metrics_out.update(cont_metrics)
         return []
+
+    # ---- signature containment screen ------------------------------------
+    # If small ⊆ big in shingle space (the same premise the anchor
+    # blocking's recall argument rests on), the true Jaccard equals the
+    # shingle-count ratio r = |small|/|big| exactly — so the signature
+    # estimate of a genuinely contained pair concentrates at r (±
+    # estimator noise ~sqrt(r(1−r)/num_perm)). Pairs whose estimate
+    # falls more than ``containment_sig_margin`` below their own r
+    # cannot be contained and are dropped BEFORE any text is fetched or
+    # a suffix array is built. Pairs with r ≤ margin pass for free (no
+    # pruning power there), so small-vs-huge pairs keep full recall.
+    sig_margin = cfg.containment_sig_margin
+    if sig_margin >= 0:
+        pair_members = np.unique(pairs_arr)
+        sig_ids, sig_mat = _fetch_signatures(signed, pair_members)
+        nb = _counts_of(pairs_arr[:, 0]).astype(np.float64)
+        ns = _counts_of(pairs_arr[:, 1]).astype(np.float64)
+        r = np.divide(ns, nb, out=np.zeros_like(ns), where=nb > 0)
+        est = _estimate_pair_jaccard(
+            sig_ids, sig_mat, pairs_arr[:, 0], pairs_arr[:, 1]
+        )
+        pairs_arr = pairs_arr[est >= r - sig_margin]
+        cont_metrics["n_cont_pairs_screened"] = len(pairs_arr)
+        if not len(pairs_arr):
+            if metrics_out is not None:
+                metrics_out.update(cont_metrics)
+            return []
+
     # group by big doc so each suffix array is built exactly once
     # (pairs_arr is sorted by big — contiguous slices per big doc)
     bigs = pairs_arr[:, 0]
