@@ -15,15 +15,46 @@ import numpy as np
 _BITS = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
 
+def token_hash64(feature: str) -> int:
+    """64-bit feature hash: little-endian first 8 bytes of md5 — chosen
+    to equal DuckDB's ``md5_number_upper(s)`` so the docs_simhash /
+    docs_simhash_pairs pipelines have pure-SQL oracle twins. (The
+    MinHash tier keeps its own blake2b token hash; only SimHash routes
+    through this.)"""
+    return int.from_bytes(hashlib.md5(feature.encode()).digest()[:8], "little")
+
+
+class _Md5TokenCache:
+    """Memoized :func:`token_hash64` over a token list (SimHash's
+    vocabulary repeats heavily, same rationale as text.TokenHashCache)."""
+
+    __slots__ = ("cache", "max_entries")
+
+    def __init__(self, max_entries: int = 1 << 20) -> None:
+        self.cache: dict[str, int] = {}
+        self.max_entries = max_entries
+
+    def hash_tokens(self, toks: list[str]) -> np.ndarray:
+        c = self.cache
+        if len(c) > self.max_entries:
+            c.clear()
+        out = np.empty(len(toks), np.uint64)
+        for i, t in enumerate(toks):
+            h = c.get(t)
+            if h is None:
+                h = token_hash64(t)
+                c[t] = h
+            out[i] = h
+        return out
+
+
 def simhash64(features: list[str], weights: list[int] | None = None) -> int:
     """64-bit SimHash of a feature list (unsigned int result)."""
     if not features:
         return 0
     votes = np.zeros(64, np.int64)
     for idx, f in enumerate(features):
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(f.encode(), digest_size=8).digest(), "big")
-        )
+        h = np.uint64(token_hash64(f))
         bits = ((h & _BITS) != 0).astype(np.int64) * 2 - 1
         votes += bits * (weights[idx] if weights else 1)
     return int(((votes > 0).astype(np.uint64) * _BITS).sum(dtype=np.uint64))
@@ -36,12 +67,10 @@ def simhash_tokens(text: str) -> int:
 
 def simhash_tokens_batch(texts: list[str | None], cache=None) -> np.ndarray:
     """Vectorized batch SimHash over whitespace tokens: token hashes come
-    from the shared :class:`TokenHashCache` (memoized blake2b), the ±1
-    bit votes are one (n_tokens, 64) numpy reduction per doc. Matches
+    from a memoized md5 cache (:func:`token_hash64`), the ±1 bit votes
+    are one (n_tokens, 64) numpy reduction per doc. Matches
     :func:`simhash_tokens` bit-for-bit (verified in tests)."""
-    from cloud_dedup_ray.functions.text import TokenHashCache
-
-    cache = cache or TokenHashCache()
+    cache = cache or _Md5TokenCache()
     out = np.zeros(len(texts), np.uint64)
     for i, t in enumerate(texts):
         if not t:
