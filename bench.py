@@ -89,21 +89,17 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
 
-    def _run_near():
+    def _run_near(shared):
         t = time.perf_counter()
-        corpus = (
-            project_corpus(read_corpus(corpus_dir), drop_content=False)
-            .filter(expr="is_symlink == False")
-            .materialize()
-        )
+        corpus = shared.filter(expr="is_symlink == False").materialize()
         n = corpus.count()
         nd = cluster_corpus(corpus, cfg, with_containment=True)
         nd.assignments.write_parquet("/tmp/cdr_bench_out/assignments")
         return nd, n, round(time.perf_counter() - t, 3)
 
-    def _run_exact():
+    def _run_exact(shared):
         t = time.perf_counter()
-        res = analyze_corpus(read_corpus(corpus_dir), DedupConfig())
+        res = analyze_corpus(shared, DedupConfig(), preprojected=shared)
         n = (
             res.duplicate_groups.count()
             + res.conflict_groups.count()
@@ -113,9 +109,14 @@ def run_bench() -> dict:
 
     def _headline_once():
         t = time.perf_counter()
+        # ONE projection/hash pass shared by both tiers (the tiers then
+        # run overlapped over the same materialized blocks)
+        shared = project_corpus(
+            read_corpus(corpus_dir), drop_content=False
+        ).materialize()
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_near = pool.submit(_run_near)
-            f_exact = pool.submit(_run_exact)
+            f_near = pool.submit(_run_near, shared)
+            f_exact = pool.submit(_run_exact, shared)
             nd, n_rows, t_near = f_near.result()
             res, n_groups, t_exact = f_exact.result()
         return nd, res, n_rows, n_groups, t_near, t_exact, round(

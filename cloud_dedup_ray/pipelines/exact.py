@@ -510,6 +510,7 @@ def folder_comparison_rows_distributed(
 def analyze_corpus(
     corpus: ray.data.Dataset, cfg: DedupConfig | None = None,
     folder_mode: str = "auto",
+    preprojected: ray.data.Dataset | None = None,
 ) -> ExactResult:
     """Run the full exact-tier analysis over a corpus Dataset in the
     ``input_hint`` schema.
@@ -518,52 +519,108 @@ def analyze_corpus(
     (reference-shaped, also feeds the HTML tree's per-file lists);
     ``"distributed"`` runs the groupby(repo, folder) reduce + per-folder
     compare as a Dataset job (driver holds one row per folder);
-    ``"auto"`` switches to distributed above 2M corpus rows."""
+    ``"auto"`` switches to distributed above 2M corpus rows.
+
+    ``preprojected``: an already-projected (``project_corpus``) dataset
+    to reuse — lets a caller running several tiers over one corpus
+    share a single projection/hash pass (``corpus`` is ignored). Must
+    have been projected with settings compatible with ``cfg``."""
     import time
+
+    from cloud_dedup_ray.stages.blockscan import is_materialized, scan_blocks
 
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
-    projected = project_corpus(
-        corpus, skip_hidden=cfg.skip_hidden, use_checksum=cfg.use_checksum
-    ).materialize()  # reused by 4 downstream passes; metadata+digests only
+    if preprojected is not None:
+        projected = (
+            preprojected if is_materialized(preprojected)
+            else preprojected.materialize()
+        )
+    else:
+        projected = project_corpus(
+            corpus, skip_hidden=cfg.skip_hidden, use_checksum=cfg.use_checksum
+        ).materialize()  # reused by all downstream passes
     t_project = time.perf_counter()
 
     num_parts = 32
 
-    def _part_name_size(t: pa.Table) -> pa.Table:
+    # ---- symlink paths: flat task wave over the materialized blocks
+    # (~100 ms) — the mixed-type pass and the counts pass both need this
+    # set, and it must exist BEFORE the fused shuffle below so the
+    # mixed-copy rows can be emitted into the same job. ----
+    def _sym_block(t: pa.Table) -> list[str]:
+        if t.num_rows == 0 or "path_lower" not in t.schema.names:
+            return []
+        return t.filter(t["is_symlink"])["path_lower"].to_pylist()
+
+    symlink_paths: set[str] = set()
+    for part in scan_blocks(projected, _sym_block):
+        symlink_paths.update(part)
+    sym_paths_ref = ray.put(symlink_paths)
+    t_sym = time.perf_counter()
+
+    # ---- FUSED classify + mixed-type shuffle: one groupby job carries
+    # BOTH passes. Every row is emitted once keyed by hash(name, size)
+    # (partitions [0, P)), and the symlink-neighborhood rows (the only
+    # possible members of a mixed-type path group) are emitted a second
+    # time keyed by hash(path_lower) offset into [P, 2P). The group task
+    # dispatches on the partition range. The mixed pass's handled-keys
+    # anti-join moves to the driver (mixed rows are few), which breaks
+    # the classify → mixed serial dependency that previously forced two
+    # back-to-back shuffle jobs. ----
+    def _part_fused(t: pa.Table) -> pa.Table:
         part = coarse.str_int_partition(
             t["name"].to_pylist(), np.asarray(t["size"], np.int64), num_parts
         )
-        return t.append_column("__part", pa.array(part))
+        t1 = t.append_column("__part", pa.array(part))
+        sympaths = ray.get(sym_paths_ref)
+        if not sympaths:
+            return t1
+        pls = t["path_lower"].to_pylist()
+        keep = pa.array([p in sympaths for p in pls])
+        t2 = t.filter(keep)
+        part2 = coarse.str_partition(t2["path_lower"].to_pylist(), num_parts)
+        t2 = t2.append_column(
+            "__part", pa.array((np.asarray(part2) + num_parts).astype(part2.dtype))
+        )
+        return pa.concat_tables([t1, t2])
+
+    class _FusedClassifier:
+        """Dispatch a fused-shuffle partition to the right pass body:
+        ``__part < num_parts`` → (name, size) group classification,
+        else → mixed-type path-group classification (no handled filter
+        — applied on the driver afterwards)."""
+
+        def __init__(self, cfg: DedupConfig):
+            self.classify = GroupClassifier(cfg)
+            self.mixed = MixedTypeClassifier(cfg, None)
+            self.__name__ = "FusedClassifier"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return GROUP_SCHEMA.empty_table()
+            if t["__part"][0].as_py() < num_parts:
+                return self.classify(t)
+            return self.mixed(t)
 
     # The classified group table is ≪ the corpus (one row per matched
     # blocking key), so it is collected to the driver ONCE; routing,
-    # pairwise counts and the anti-join key sets are then plain pandas —
-    # this replaces six separate Ray jobs (filter×3, flat_map+groupby,
-    # filter-count, take_all loop) with zero extra cluster round-trips.
-    # The classify shuffle and the (independent) symlink-path collection
-    # run CONCURRENTLY — Ray Data executions compose, and overlapping
-    # them hides per-job scheduling latency that would otherwise be
-    # serial driver time.
+    # pairwise counts and the anti-join key sets are then plain pandas.
+    # The fused shuffle and the (independent) folder job run
+    # CONCURRENTLY — Ray Data executions compose, and overlapping them
+    # hides per-job scheduling latency that would otherwise be serial
+    # driver time.
     from concurrent.futures import ThreadPoolExecutor
 
     def _run_classify():
         df = (
-            projected.select_columns(REC_COLS)  # prune before the shuffle
-            .map_batches(_part_name_size, batch_format="pyarrow")
+            projected.select_columns(REC_COLS + ["path_lower"])
+            .map_batches(_part_fused, batch_format="pyarrow")
             .groupby("__part")
-            .map_groups(GroupClassifier(cfg), batch_format="pyarrow")
+            .map_groups(_FusedClassifier(cfg), batch_format="pyarrow")
             .to_pandas()
         )
         return df if not df.empty else GROUP_SCHEMA.empty_table().to_pandas()
-
-    def _run_sym_paths():
-        df = (
-            projected.filter(expr="is_symlink == True")
-            .select_columns(["path_lower"])
-            .to_pandas()
-        )
-        return set(df["path_lower"]) if "path_lower" in df.columns else set()
 
     # folder name-set combiner (F1): per-batch partials, merged on the
     # driver — no shuffle. At folder counts too large for one driver the
@@ -601,44 +658,35 @@ def analyze_corpus(
     use_distributed_folders = folder_mode == "distributed" or (
         folder_mode == "auto" and projected.count() > 2_000_000
     )
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=2)
     f_groups = pool.submit(_run_classify)
-    f_sym = pool.submit(_run_sym_paths)
     if use_distributed_folders:
         f_folders = pool.submit(folder_comparison_rows_distributed, projected)
     else:
         f_folders = pool.submit(_run_folder_partials)
-    groups_df = f_groups.result()
-    symlink_paths = f_sym.result()
-    t_classify = time.perf_counter()
-
-    # Mixed-type pass (reference :435-482): a qualifying path group must
-    # contain ≥1 symlink, so the shuffle input is pre-filtered to rows
-    # whose path_lower matches a symlink path — a broadcast semi-join
-    # that shrinks the second shuffle from the whole corpus to the
-    # symlink neighborhood. ``handled`` anti-join set: |set| = #groups
-    # ≪ #files (the 10^12-scale path is a distributed hash anti-join).
-    handled = {p.lower() for p in groups_df["rel_path"]}
-    handled_ref = ray.put(handled)
-    sym_paths_ref = ray.put(symlink_paths)
-
-    def _part_path(t: pa.Table) -> pa.Table:
-        sympaths = ray.get(sym_paths_ref)
-        pls = t["path_lower"].to_pylist()
-        keep = pa.array([p in sympaths for p in pls])
-        t = t.filter(keep)
-        part = coarse.str_partition(t["path_lower"].to_pylist(), num_parts)
-        return t.append_column("__part", pa.array(part))
+    all_df = f_groups.result()
 
     import pandas as pd
 
-    # ---- unique counts, part 1 (J7, representative-path quirk
-    # preserved): dup_rel_paths is built from the FIRST-pass groups only
-    # so the A1+A4 count shuffle can run CONCURRENTLY with the
-    # mixed-type shuffle; the mixed groups' contribution is corrected on
-    # the driver afterwards using per-(repo, symlink-path) row counts
-    # that the same count pass emits (mixed groups always key on a
-    # symlink path, so the candidate set is known up front). ----
+    # ---- split the fused output: mixed-type rows carry the sentinel
+    # content_match == "mixed_type"; the handled-keys anti-join
+    # (reference :441 — a path group already emitted by the main pass is
+    # skipped) runs here on the driver over the few mixed candidates.
+    mixed_mask = all_df["content_match"] == "mixed_type"
+    groups_df = all_df[~mixed_mask].reset_index(drop=True)
+    handled = {p.lower() for p in groups_df["rel_path"]}
+    mixed_df = all_df[mixed_mask].reset_index(drop=True)
+    if not mixed_df.empty:
+        mixed_df = mixed_df[
+            ~mixed_df["rel_path"].str.lower().isin(handled)
+        ].reset_index(drop=True)
+    t_classify = time.perf_counter()
+    t_mixed = t_classify
+
+    # ---- unique counts (J7, representative-path quirk preserved):
+    # dup_rel_paths from the first-pass groups; the mixed groups'
+    # contribution is corrected afterwards using the per-(repo,
+    # symlink-path) row counts the same pass emits. ----
     dup_rel_paths: dict[str, set[str]] = {}
     for rp, svcs in zip(groups_df["rel_path"], groups_df["services"]):
         rpl = rp.lower()
@@ -646,78 +694,36 @@ def analyze_corpus(
             dup_rel_paths.setdefault(l, set()).add(rpl)
     dup_ref = ray.put(dup_rel_paths)
 
-    # A1 + A4 in ONE distributed pass: per batch emit (repo, total,
-    # matched) partials plus (repo, symlink-path, rows) partials —
-    # path_key "" marks the per-repo aggregate row — reduced with a
-    # tiny two-key groupby.
-    _COUNT_SCHEMA = pa.schema(
-        [("repo", pa.string()), ("path_key", pa.string()),
-         ("total", pa.int64()), ("matched", pa.int64())]
-    )
-
-    def _count_partials(batch: pa.Table) -> pa.Table:
-        sets = ray.get(dup_ref)
-        sympaths = ray.get(sym_paths_ref)
+    # A1 + A4 in ONE flat task wave over the materialized blocks: per
+    # block emit (repo → rows, matched) partials plus (repo,
+    # symlink-path) row counts; the reduce is a tiny driver merge.
+    def _count_block(batch: pa.Table, sets, sympaths):
+        if batch.num_rows == 0 or "repo" not in batch.schema.names:
+            return [], []
         df = pa.table(
             {"repo": batch["repo"], "path_lower": batch["path_lower"]}
         ).to_pandas()
-        rows = []
+        agg_rows, sym_rows = [], []
         for repo, g in df.groupby("repo", sort=False):
             matched = int(g["path_lower"].isin(sets.get(repo, ())).sum())
-            rows.append(
-                {"repo": repo, "path_key": "", "total": len(g),
-                 "matched": matched}
-            )
+            agg_rows.append((repo, len(g), matched))
             if sympaths:
                 in_sym = g[g["path_lower"].isin(sympaths)]
                 for p, c in in_sym["path_lower"].value_counts().items():
-                    rows.append(
-                        {"repo": repo, "path_key": p, "total": int(c),
-                         "matched": 0}
-                    )
-        return pa.Table.from_pylist(rows, schema=_COUNT_SCHEMA)
+                    sym_rows.append((repo, p, int(c)))
+        return agg_rows, sym_rows
 
-    from ray.data.aggregate import Sum
-
-    def _run_counts():
-        total: dict[str, int] = {}
-        matched: dict[str, int] = {}
-        sym_rows: dict[tuple[str, str], int] = {}
-        for r in (
-            projected.map_batches(_count_partials, batch_format="pyarrow")
-            .groupby(["repo", "path_key"])
-            .aggregate(Sum("total", alias_name="total"),
-                       Sum("matched", alias_name="matched"))
-            .take_all()
-        ):
-            if r["path_key"] == "":
-                total[r["repo"]] = r["total"]
-                matched[r["repo"]] = r["matched"]
-            else:
-                sym_rows[(r["repo"], r["path_key"])] = r["total"]
-        return total, matched, sym_rows
-
-    def _run_mixed():
-        if not symlink_paths:
-            return GROUP_SCHEMA.empty_table().to_pandas()
-        df = (
-            projected.select_columns(REC_COLS + ["path_lower"])
-            .map_batches(_part_path, batch_format="pyarrow")
-            .groupby("__part")
-            .map_groups(
-                MixedTypeClassifier(cfg, handled_ref), batch_format="pyarrow"
-            )
-            .to_pandas()
-        )
-        return df if not df.empty else GROUP_SCHEMA.empty_table().to_pandas()
-
-    pool2 = ThreadPoolExecutor(max_workers=2)
-    f_counts = pool2.submit(_run_counts)
-    f_mixed = pool2.submit(_run_mixed)
-    mixed_df = f_mixed.result()
-    t_mixed = time.perf_counter()
-    total_files, matched_counts, sym_row_counts = f_counts.result()
-    pool2.shutdown()
+    total_files: dict[str, int] = {}
+    matched_counts: dict[str, int] = {}
+    sym_row_counts: dict[tuple[str, str], int] = {}
+    for agg_rows, sym_rows in scan_blocks(
+        projected, _count_block, dup_ref, sym_paths_ref
+    ):
+        for repo, n, m in agg_rows:
+            total_files[repo] = total_files.get(repo, 0) + n
+            matched_counts[repo] = matched_counts.get(repo, 0) + m
+        for repo, p, c in sym_rows:
+            sym_row_counts[(repo, p)] = sym_row_counts.get((repo, p), 0) + c
 
     dup_df = groups_df[groups_df.route == "duplicate"]
     con_df = pd.concat(
@@ -787,8 +793,8 @@ def analyze_corpus(
     t_folder = time.perf_counter()
     metrics = {
         "sec_project": round(t_project - t0, 3),
-        "sec_classify": round(t_classify - t_project, 3),
-        "sec_mixed": round(t_mixed - t_classify, 3),
+        "sec_sym_scan": round(t_sym - t_project, 3),
+        "sec_classify": round(t_classify - t_sym, 3),  # fused classify+mixed
         "sec_counts": round(t_counts - t_mixed, 3),
         "sec_folder_agg": round(t_folder_agg - t_counts, 3),
         "sec_folder_analysis": round(t_folder - t_folder_agg, 3),

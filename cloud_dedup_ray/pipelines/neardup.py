@@ -44,22 +44,12 @@ from cloud_dedup_ray.stages.minhash_stage import (
 from cloud_dedup_ray.state.union_find import UnionFind
 
 
-def _is_materialized(ds: ray.data.Dataset) -> bool:
-    from ray.data.dataset import MaterializedDataset
-
-    return isinstance(ds, MaterializedDataset)
-
-
-def _scan_blocks(ds: ray.data.Dataset, fn, *args) -> list:
-    """Run ``fn(block_table, *args)`` as one flat Ray task per block of
-    an already-materialized dataset: the low-latency replacement for a
-    ``map_batches → iter_batches`` round trip when the blocks are
-    already sitting in the object store. Each Dataset job launch costs
-    1-2 s of serial driver time on this Ray version; a task wave over
-    block refs costs ~100 ms — this is the main lever on the headline
-    run's serial floor. ``args`` may contain object refs (broadcast)."""
-    task = ray.remote(num_cpus=1)(fn)
-    return ray.get([task.remote(ref, *args) for ref in ds.to_arrow_refs()])
+# shared task-wave helpers (stages/blockscan.py); aliased to keep the
+# established local names
+from cloud_dedup_ray.stages.blockscan import (  # noqa: E402
+    is_materialized as _is_materialized,
+    scan_blocks as _scan_blocks,
+)
 
 
 @dataclass
