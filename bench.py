@@ -179,6 +179,15 @@ def run_bench() -> dict:
             for k in ("sec_sign", "sec_lsh_verify", "sec_containment")
         },
     }
+    # Drop every Dataset-holding local BEFORE ray.shutdown: a
+    # MaterializedDataset destructor that runs after shutdown (frame
+    # teardown happens at return, i.e. post-shutdown) releases object
+    # refs against a dead core worker — the process then hard-exits
+    # with "core worker has already been shutdown" before printing.
+    import gc
+
+    del runs, nd, res
+    gc.collect()
     ray.shutdown()
     return out
 
@@ -212,8 +221,15 @@ def run_scaling() -> dict:
                 cmd,
                 env=env, capture_output=True, text=True,
             )
-            if p.returncode == 0 and p.stdout.strip():
-                return json.loads(p.stdout.strip().splitlines()[-1])
+            # Accept any run whose stdout ends in a parseable JSON line:
+            # the measurement is complete once the line is printed, and
+            # a Ray teardown race at interpreter exit (nonzero return
+            # code AFTER the print) must not discard a finished run.
+            if p.stdout.strip():
+                try:
+                    return json.loads(p.stdout.strip().splitlines()[-1])
+                except json.JSONDecodeError:
+                    pass
             last_err = p.stderr[-2000:]
         raise RuntimeError(
             f"bench child (num_cpus={ncpu}) failed twice; stderr tail:\n{last_err}"
