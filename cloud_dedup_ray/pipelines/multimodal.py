@@ -129,3 +129,331 @@ def image_features(sf_dir: str) -> pd.DataFrame:
         num_cpus=1,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _parse_fimg(buf: bytes) -> np.ndarray:
+    w, h, c = struct.unpack("<III", buf[4:16])
+    return np.frombuffer(buf[16 : 16 + w * h * c], np.uint8).reshape(h, w, c)
+
+
+def _pack_fimg(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    return _MAGIC + struct.pack("<III", w, h, c) + arr.tobytes()
+
+
+class ImageResizer:
+    """Actor-pool resize stage → same (doc_id, image, format) layout with
+    every payload resized to (``width`` × ``height``). Codec selection
+    once per actor like :class:`ImageDecoder`: PIL's ``resize`` when
+    importable, injected via ``codec`` in tests; FIMG payloads resize
+    with a REAL vectorized nearest-neighbor gather (two ``np.take``
+    index maps — the stub is the codec, not the kernel)."""
+
+    def __init__(self, width: int = 32, height: int = 32,
+                 allow_stub: bool = True, codec=None):
+        self.width, self.height = int(width), int(height)
+        if codec is not None:
+            self.codec = codec
+        else:
+            try:
+                from PIL import Image  # guarded: not in this container
+
+                self.codec = Image
+            except ImportError:
+                self.codec = None
+        if not allow_stub and self.codec is None:
+            raise NotImplementedError(
+                "real image resizing requires PIL, not present in this "
+                "environment, and allow_stub=False forbids the FIMG path"
+            )
+
+    def _resize_fimg(self, buf: bytes) -> bytes:
+        arr = _parse_fimg(buf)
+        h, w, _ = arr.shape
+        rows = (np.arange(self.height) * h) // self.height
+        cols = (np.arange(self.width) * w) // self.width
+        out = np.take(np.take(arr, rows, axis=0), cols, axis=1)
+        return _pack_fimg(np.ascontiguousarray(out))
+
+    def _resize_codec(self, buf: bytes) -> bytes:
+        import io
+
+        img = self.codec.open(io.BytesIO(buf))
+        arr = np.asarray(img.resize((self.width, self.height)))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return _pack_fimg(np.ascontiguousarray(arr))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for buf in t["image"].to_pylist():
+            if buf[:4] == _MAGIC:
+                out.append(self._resize_fimg(buf))
+            elif self.codec is not None:
+                out.append(self._resize_codec(buf))
+            else:
+                raise NotImplementedError(
+                    "payload is not FIMG and no image codec is available"
+                )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "image": pa.array(out, pa.binary()),
+                "format": pa.array(["fimg"] * len(out), pa.string()),
+            }
+        )
+
+
+def image_resize_features(
+    sf_dir: str, width: int = 32, height: int = 32
+) -> pd.DataFrame:
+    """Resize → decode as two composed actor-pool stages (the resized
+    payloads stream between pools through the object store; nothing is
+    collected until the tiny feature table)."""
+    imgs = build_image_table(sf_dir)
+    out = (
+        imgs.map_batches(
+            ImageResizer,
+            fn_constructor_kwargs={"width": width, "height": height},
+            batch_format="pyarrow", batch_size=256,
+            concurrency=(1, 4), num_cpus=1,
+        )
+        .map_batches(
+            ImageDecoder,
+            batch_format="pyarrow", batch_size=256,
+            concurrency=(1, 4), num_cpus=1,
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# audio: FAUD fake payloads, real vectorized feature kernel
+# --------------------------------------------------------------------------
+
+#: magic(4) | sample_rate(u32) | n_samples(u32) | int16 little-endian samples
+_AMAGIC = b"FAUD"
+
+
+def encode_fake_audio(seed_text: str) -> bytes:
+    """Deterministic fake audio payload (int16 PCM-shaped) from a text
+    seed — stands in for real audio bytes in tests/benchmarks."""
+    h = hashlib.sha256(seed_text.encode()).digest()
+    sample_rate = 8000 * (1 + h[0] % 2)            # 8 or 16 kHz
+    n = 512 + int.from_bytes(h[1:3], "little") % 4096
+    base = np.frombuffer((h * ((2 * n) // len(h) + 1))[: 2 * n], np.int16)
+    return (
+        _AMAGIC + struct.pack("<II", sample_rate, n) + base.tobytes()
+    )
+
+
+def build_audio_table(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, audio:binary, format:string) derived deterministically
+    from the documents table."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def make(t: pa.Table) -> pa.Table:
+        bufs = [encode_fake_audio(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "audio": pa.array(bufs, pa.binary()),
+                "format": pa.array(["faud"] * len(bufs), pa.string()),
+            }
+        )
+
+    return ds.map_batches(make, batch_format="pyarrow")
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage → (doc_id, sample_rate,
+    duration_sec, rms, zero_cross_rate, peak). Codec selected once per
+    actor (``soundfile`` when importable, injectable for tests); FAUD
+    payloads parse via the header and the feature kernel itself is real
+    vectorized numpy over the int16 buffer."""
+
+    def __init__(self, allow_stub: bool = True, codec=None):
+        if codec is not None:
+            self.codec = codec
+        else:
+            try:
+                import soundfile  # guarded: not in this container
+
+                self.codec = soundfile
+            except ImportError:
+                self.codec = None
+        if not allow_stub and self.codec is None:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile/librosa, not "
+                "present in this environment, and allow_stub=False "
+                "forbids the FAUD path"
+            )
+
+    @staticmethod
+    def _features(x: np.ndarray, sr: int) -> tuple:
+        xf = x.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(xf * xf))) if len(xf) else 0.0
+        zc = (
+            float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+            if len(xf) > 1 else 0.0
+        )
+        peak = float(np.abs(xf).max()) if len(xf) else 0.0
+        return (
+            round(len(x) / sr, 4), round(rms, 4), round(zc, 4), round(peak, 4)
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        srs, durs, rmss, zcrs, peaks = [], [], [], [], []
+        for buf in t["audio"].to_pylist():
+            if buf[:4] == _AMAGIC:
+                sr, n = struct.unpack("<II", buf[4:12])
+                x = np.frombuffer(buf[12 : 12 + 2 * n], np.int16)
+            elif self.codec is not None:
+                import io
+
+                data, sr = self.codec.read(io.BytesIO(buf), dtype="int16")
+                x = np.asarray(data).reshape(-1)
+            else:
+                raise NotImplementedError(
+                    "payload is not FAUD and no audio codec is available"
+                )
+            d, r, z, p = self._features(x, sr)
+            srs.append(sr)
+            durs.append(d)
+            rmss.append(r)
+            zcrs.append(z)
+            peaks.append(p)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sample_rate": pa.array(srs, pa.int32()),
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zero_cross_rate": pa.array(zcrs, pa.float64()),
+                "peak": pa.array(peaks, pa.float64()),
+            }
+        )
+
+
+def audio_features(sf_dir: str) -> pd.DataFrame:
+    out = build_audio_table(sf_dir).map_batches(
+        AudioFeatures,
+        batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# video: FVID fake payloads, frame sampling that composes with the
+# image stages (sampled frames are emitted as FIMG payloads)
+# --------------------------------------------------------------------------
+
+#: magic(4) | width(u32) | height(u32) | n_frames(u32) | grayscale frames
+_VMAGIC = b"FVID"
+
+
+def encode_fake_video(seed_text: str) -> bytes:
+    """Deterministic fake video payload (grayscale frame stack)."""
+    h = hashlib.sha256(seed_text.encode()).digest()
+    width = 8 + h[0] % 17
+    height = 8 + h[1] % 17
+    n_frames = 4 + h[2] % 13
+    size = width * height * n_frames
+    body = (h * (size // len(h) + 1))[:size]
+    return _VMAGIC + struct.pack("<III", width, height, n_frames) + body
+
+
+def build_video_table(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, video:binary, format:string) derived deterministically
+    from the documents table."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def make(t: pa.Table) -> pa.Table:
+        bufs = [encode_fake_video(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "video": pa.array(bufs, pa.binary()),
+                "format": pa.array(["fvid"] * len(bufs), pa.string()),
+            }
+        )
+
+    return ds.map_batches(make, batch_format="pyarrow")
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sample stage: explode each video row into one
+    row per sampled frame (every ``stride``-th frame, always including
+    frame 0) — (doc_id, frame_idx, image:binary FIMG, format). The FIMG
+    output composes directly with :class:`ImageDecoder` /
+    :class:`ImageResizer` downstream. A real implementation swaps the
+    FVID parser for a container demuxer (pyav/opencv) behind the same
+    signature; neither is in this container, so non-FVID payloads fail
+    loudly rather than fake it."""
+
+    def __init__(self, stride: int = 2):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = int(stride)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for doc_id, buf in zip(t["doc_id"].to_pylist(), t["video"].to_pylist()):
+            if buf[:4] != _VMAGIC:
+                raise NotImplementedError(
+                    "payload is not FVID and no video demuxer is available "
+                    "(install pyav/opencv for real containers)"
+                )
+            w, h, n_frames = struct.unpack("<III", buf[4:16])
+            frame_bytes = w * h
+            body = np.frombuffer(
+                buf[16 : 16 + frame_bytes * n_frames], np.uint8
+            ).reshape(n_frames, h, w)
+            for i in range(0, n_frames, self.stride):
+                ids.append(doc_id)
+                fidx.append(i)
+                frames.append(_pack_fimg(body[i][:, :, None]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "image": pa.array(frames, pa.binary()),
+                "format": pa.array(["fimg"] * len(frames), pa.string()),
+            }
+        )
+
+
+class FrameDecoder(ImageDecoder):
+    """Per-frame :class:`ImageDecoder` that carries ``frame_idx``
+    through (codec still selected once per actor in ``__init__``)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feat = super().__call__(t)
+        return feat.add_column(1, "frame_idx", t["frame_idx"])
+
+
+def video_frame_features(sf_dir: str, stride: int = 2) -> pd.DataFrame:
+    """Frame-sample → per-frame decode as composed actor-pool stages;
+    the per-frame feature table is the only collected output."""
+    out = (
+        build_video_table(sf_dir)
+        .map_batches(
+            VideoFrameSampler,
+            fn_constructor_kwargs={"stride": stride},
+            batch_format="pyarrow", batch_size=64,  # video payloads are big
+            concurrency=(1, 4), num_cpus=1,
+        )
+        .map_batches(
+            FrameDecoder,
+            batch_format="pyarrow", batch_size=256,
+            concurrency=(1, 4), num_cpus=1,
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)

@@ -86,3 +86,119 @@ def test_no_codec_no_magic_fails_loudly():
                       "image": pa.array([b"\x89PNG fake"], pa.binary())}))
     with pytest.raises(NotImplementedError):
         ImageDecoder(allow_stub=False)
+
+
+# --------------------------------------------------------------------------
+# resize / audio / video frame-sample stages
+# --------------------------------------------------------------------------
+
+from cloud_dedup_ray.pipelines.multimodal import (  # noqa: E402
+    _AMAGIC,
+    _VMAGIC,
+    AudioFeatures,
+    ImageResizer,
+    VideoFrameSampler,
+    audio_features,
+    encode_fake_audio,
+    encode_fake_video,
+    image_resize_features,
+    video_frame_features,
+)
+
+
+def test_resizer_nearest_neighbor_exact():
+    """2×2 gray checkerboard → 4×4 NN upsample has a known block layout."""
+    arr = np.array([[0, 255], [255, 0]], np.uint8)[:, :, None]
+    buf = b"FIMG" + struct.pack("<III", 2, 2, 1) + arr.tobytes()
+    out = ImageResizer(width=4, height=4)(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "image": pa.array([buf], pa.binary()),
+                  "format": pa.array(["fimg"])})
+    )
+    rbuf = out["image"][0].as_py()
+    w, h, c = struct.unpack("<III", rbuf[4:16])
+    assert (w, h, c) == (4, 4, 1)
+    got = np.frombuffer(rbuf[16:], np.uint8).reshape(4, 4)
+    expect = np.array(
+        [[0, 0, 255, 255], [0, 0, 255, 255],
+         [255, 255, 0, 0], [255, 255, 0, 0]], np.uint8
+    )
+    assert (got == expect).all()
+
+
+def test_image_resize_features_end_to_end():
+    out = image_resize_features("/root/testdata/sf0.001", width=24, height=20)
+    assert len(out) > 0
+    assert (out["width"] == 24).all() and (out["height"] == 20).all()
+    assert (out["channels"] == 3).all()
+    assert out.equals(
+        image_resize_features("/root/testdata/sf0.001", width=24, height=20)
+    )
+
+
+def test_audio_features_known_payload():
+    x = np.array([16384, -16384, 16384, -16384], np.int16)
+    buf = _AMAGIC + struct.pack("<II", 8000, 4) + x.tobytes()
+    t = AudioFeatures()(
+        pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "audio": pa.array([buf], pa.binary())})
+    )
+    assert t["sample_rate"][0].as_py() == 8000
+    assert t["duration_sec"][0].as_py() == round(4 / 8000, 4)
+    assert t["rms"][0].as_py() == 0.5
+    assert t["zero_cross_rate"][0].as_py() == 1.0  # alternating signs
+    assert t["peak"][0].as_py() == 0.5
+
+
+def test_audio_features_end_to_end_deterministic():
+    out = audio_features("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert (out["duration_sec"] > 0).all()
+    assert out.equals(audio_features("/root/testdata/sf0.001"))
+
+
+def test_audio_no_codec_no_magic_fails_loudly():
+    dec = AudioFeatures()
+    if dec.codec is not None:
+        pytest.skip("a real audio codec is installed")
+    with pytest.raises(NotImplementedError):
+        dec(pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "audio": pa.array([b"RIFF fake wav"], pa.binary())}))
+
+
+def test_frame_sampler_stride_and_fimg_compose():
+    vid = encode_fake_video("clip")
+    w, h, n_frames = struct.unpack("<III", vid[4:16])
+    t = VideoFrameSampler(stride=3)(
+        pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "video": pa.array([vid], pa.binary())})
+    )
+    assert t["frame_idx"].to_pylist() == list(range(0, n_frames, 3))
+    # sampled frames are valid FIMG → ImageDecoder consumes them directly
+    feat = ImageDecoder()(t)
+    assert (np.asarray(feat["width"]) == w).all()
+    assert (np.asarray(feat["height"]) == h).all()
+    assert (np.asarray(feat["channels"]) == 1).all()
+    # frame 3's mean matches the raw frame bytes
+    body = np.frombuffer(vid[16:], np.uint8).reshape(n_frames, h, w)
+    assert feat["mean_pixel"][1].as_py() == round(float(body[3].mean()), 4)
+
+
+def test_video_frame_features_end_to_end():
+    out = video_frame_features("/root/testdata/sf0.001", stride=4)
+    assert len(out) > 0
+    assert set(out.columns) == {
+        "doc_id", "frame_idx", "width", "height", "channels", "mean_pixel",
+    }
+    assert (out["frame_idx"] % 4 == 0).all()
+    assert (out["channels"] == 1).all()
+    assert out.equals(video_frame_features("/root/testdata/sf0.001", stride=4))
+
+
+def test_non_fvid_fails_loudly():
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler()(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "video": pa.array([b"\x00\x00\x00\x18ftypmp4 "],
+                                        pa.binary())})
+        )
