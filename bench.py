@@ -110,10 +110,14 @@ def run_bench() -> dict:
     def _headline_once():
         t = time.perf_counter()
         # ONE projection/hash pass shared by both tiers (the tiers then
-        # run overlapped over the same materialized blocks)
-        shared = project_corpus(
-            read_corpus(corpus_dir), drop_content=False
-        ).materialize()
+        # run overlapped over the same materialized blocks), coalesced
+        # once so neither tier's sort-shuffles see tiny blocks
+        from cloud_dedup_ray.stages.blockscan import coalesce_small_blocks
+
+        shared = coalesce_small_blocks(
+            project_corpus(read_corpus(corpus_dir), drop_content=False)
+            .materialize()
+        )
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_near = pool.submit(_run_near, shared)
             f_exact = pool.submit(_run_exact, shared)

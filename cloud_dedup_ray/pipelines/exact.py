@@ -527,7 +527,11 @@ def analyze_corpus(
     have been projected with settings compatible with ``cfg``."""
     import time
 
-    from cloud_dedup_ray.stages.blockscan import is_materialized, scan_blocks
+    from cloud_dedup_ray.stages.blockscan import (
+        coalesce_small_blocks,
+        is_materialized,
+        scan_blocks,
+    )
 
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
@@ -540,6 +544,8 @@ def analyze_corpus(
         projected = project_corpus(
             corpus, skip_hidden=cfg.skip_hidden, use_checksum=cfg.use_checksum
         ).materialize()  # reused by all downstream passes
+    # tiny-block inputs make the classify sort-shuffle overhead-bound
+    projected = coalesce_small_blocks(projected)
     t_project = time.perf_counter()
 
     num_parts = 32

@@ -47,6 +47,7 @@ from cloud_dedup_ray.state.union_find import UnionFind
 # shared task-wave helpers (stages/blockscan.py); aliased to keep the
 # established local names
 from cloud_dedup_ray.stages.blockscan import (  # noqa: E402
+    coalesce_small_blocks as _coalesce_small_blocks,
     is_materialized as _is_materialized,
     scan_blocks as _scan_blocks,
 )
@@ -764,6 +765,9 @@ def cluster_corpus(
             resumed.append("signatures")
     else:
         signed = _build_signed().materialize()
+    # signed inherits the corpus's block structure; tiny blocks make the
+    # banding sort-shuffle below overhead-bound (B×R micro-transfers)
+    signed = _coalesce_small_blocks(signed)
     t_sign = time.perf_counter()
 
     num_parts = 64

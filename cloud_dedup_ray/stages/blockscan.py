@@ -21,6 +21,33 @@ def is_materialized(ds: ray.data.Dataset) -> bool:
     return isinstance(ds, MaterializedDataset)
 
 
+def coalesce_small_blocks(
+    ds: ray.data.Dataset,
+    target_bytes: int = 64 << 20,
+    min_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Coalesce a materialized dataset made of many tiny blocks.
+
+    A sort-based shuffle (groupby / sort) over B map blocks and R reduce
+    partitions moves B × R micro-objects; with hundreds of sub-MB blocks
+    (small input files, row-group splits) the exchange is pure scheduling
+    overhead — measured 7× slower than the same shuffle over
+    CPU-count-sized blocks at 114k rows. Repartition (split/merge, no
+    sort) down to ``max(min_blocks or cluster CPUs, size/target_bytes)``
+    whenever the current count is more than 2× that. At real block sizes
+    (≥ target_bytes) this is a no-op, so the 100-TB path never pays it.
+    """
+    if not is_materialized(ds):
+        ds = ds.materialize()
+    nb = ds.num_blocks()
+    size = ds.size_bytes() or 0
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    want = max(min_blocks or cpus, -(-size // target_bytes))
+    if nb > 2 * want:
+        return ds.repartition(want).materialize()
+    return ds
+
+
 def scan_blocks(ds: ray.data.Dataset, fn, *args) -> list:
     """Run ``fn(block_table, *args)`` as one flat Ray task per block of
     an already-materialized dataset. ``args`` may contain object refs
