@@ -36,14 +36,26 @@ def md5_hex(contents: pa.Array) -> pa.Array:
     )
 
 
-def stable_id64(repos: pa.Array, paths: pa.Array) -> pa.Array:
-    """Deterministic 63-bit doc id from (repo, path) — stable across
-    runs/retries (block order independent), unlike a zip-with-index.
-    Collision odds at 10^12 docs are ~2^-20 per pair under 63 bits;
-    the scale path widens to 2x64 stored as fixed_size_binary(16)."""
+def stable_id64(
+    repos: pa.Array, paths: pa.Array, commits: pa.Array | None = None
+) -> pa.Array:
+    """Deterministic 63-bit doc id from (repo, path[, commit]) — stable
+    across runs/retries (block order independent), unlike a
+    zip-with-index. ``commits`` MUST be passed when the table carries
+    one row per file VERSION: two commits of the same path are distinct
+    documents with distinct content, and collapsing them onto one id
+    makes every id-keyed join/cluster ambiguous (which version's
+    signature wins depends on block arrival order). Null commits hash
+    as ''. Collision odds at 10^12 docs are ~2^-20 per pair under 63
+    bits; the scale path widens to 2x64 stored as
+    fixed_size_binary(16)."""
     out = np.empty(len(repos), np.int64)
     rl, pl = repos.to_pylist(), paths.to_pylist()
+    cl = commits.to_pylist() if commits is not None else None
     for i in range(len(rl)):
-        h = hashlib.sha1(f"{rl[i]}\0{pl[i]}".encode()).digest()
+        key = f"{rl[i]}\0{pl[i]}"
+        if cl is not None:
+            key += f"\0{cl[i] or ''}"
+        h = hashlib.sha1(key.encode()).digest()
         out[i] = int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
     return pa.array(out, pa.int64())

@@ -46,7 +46,13 @@ def project_corpus(
         batch = batch.append_column("name", pc.utf8_lower(name_orig))
         batch = batch.append_column("folder", pathutils.dirname(paths))
         batch = batch.append_column("path_lower", pc.utf8_lower(paths))
-        batch = batch.append_column("doc_id", stable_id64(batch["repo"], paths))
+        batch = batch.append_column(
+            "doc_id",
+            stable_id64(
+                batch["repo"], paths,
+                batch["commit"] if "commit" in batch.schema.names else None,
+            ),
+        )
         if use_checksum:
             regular = pc.invert(batch["is_symlink"])
             content = pc.if_else(regular, batch["content"], pa.scalar(None, pa.string()))

@@ -296,3 +296,42 @@ def test_label_propagation_matches_union_find():
     )
     got = label_propagation_components(ds, num_partitions=4)
     assert got == want
+
+
+def test_stable_id64_distinguishes_commits():
+    """One row per (repo, path, commit) version ⇒ one doc identity per
+    version. Collapsing commits onto hash(repo, path) made every
+    id-keyed join ambiguous (regression: two commits of lib/f05037.py
+    shared a doc_id, so which version's MinHash signature represented
+    the id depended on block arrival order)."""
+    import pyarrow as pa
+
+    from cloud_dedup_ray.functions.hashing import stable_id64
+
+    repos = pa.array(["r", "r", "r"])
+    paths = pa.array(["a.py", "a.py", "a.py"])
+    commits = pa.array(["c1", "c2", None])
+    ids = stable_id64(repos, paths, commits).to_pylist()
+    assert len(set(ids)) == 3          # every version distinct
+    # stable: same key → same id, and null commit hashes like ''
+    ids2 = stable_id64(repos, paths, pa.array(["c1", "c2", ""])).to_pylist()
+    assert ids == ids2
+    # two-arg form (version-less tables) unchanged and distinct from
+    # any commit-qualified id
+    base = stable_id64(repos, paths).to_pylist()
+    assert len(set(base)) == 1 and base[0] not in ids
+
+
+def test_projected_doc_ids_unique_per_version(tmp_path):
+    from cloud_dedup_ray.datagen import write_corpus
+    from cloud_dedup_ray.sources.corpus import read_corpus
+    from cloud_dedup_ray.stages.project import project_corpus
+
+    d = write_corpus(str(tmp_path / "c"), seed=7, n_files=400, n_repos=2,
+                     n_shards=4)
+    df = (
+        project_corpus(read_corpus(d))
+        .select_columns(["doc_id"])
+        .to_pandas()
+    )
+    assert df["doc_id"].nunique() == len(df)
