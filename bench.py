@@ -133,7 +133,9 @@ def run_bench() -> dict:
     # steady passes measure sustained throughput, and taking the best of
     # two rejects host-noise outliers (shared-box interference measured
     # at ±50% on long runs). All numbers are reported.
-    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+    # cold + 3 steady by default: host noise is ±40% run-to-run, and
+    # best-of-3 steady passes reject a single contended window
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "4"))
     runs = [_headline_once() for _ in range(n_runs)]
     cold_sec = runs[0][-1]
     nd, res, n_rows, n_groups, t_near, t_exact, headline = min(
