@@ -34,9 +34,11 @@ import ray.data
 from cloud_dedup_ray.config import DedupConfig
 from cloud_dedup_ray.functions.suffixarray import SuffixArray
 from cloud_dedup_ray.functions.text import normalize
+from cloud_dedup_ray.stages import coarse
 from cloud_dedup_ray.stages.minhash_stage import (
     MinHashSigner,
     add_bucket_partition,
+    bucket_pairs_arrays,
     emit_bucket_pairs,
     explode_bands,
     make_sign_fn,
@@ -48,9 +50,69 @@ from cloud_dedup_ray.state.union_find import UnionFind
 # established local names
 from cloud_dedup_ray.stages.blockscan import (  # noqa: E402
     coalesce_small_blocks as _coalesce_small_blocks,
+    exchange_blocks as _exchange_blocks,
     is_materialized as _is_materialized,
     scan_blocks as _scan_blocks,
 )
+
+
+def _split_by_partition(
+    part: np.ndarray, num_partitions: int, *cols: np.ndarray
+) -> list[tuple[np.ndarray, ...]]:
+    """Map-side split for a flat exchange: stable-sort rows by partition
+    id and slice each column into ``num_partitions`` contiguous views."""
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
+    return [
+        tuple(c[order[lo:hi]] for c in cols)
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
+
+
+def _collect_edges_flat(
+    signed: ray.data.Dataset, cfg: DedupConfig, num_parts: int
+) -> tuple[np.ndarray, np.ndarray, dict[int, int]]:
+    """Flat-task form of the banding shuffle + edge collection: one
+    exchange_blocks round (explode bands → hash-split by bucket_key →
+    per-partition ``bucket_pairs_arrays``) instead of a Dataset
+    groupby job + iter_batches round trip. Emits the identical edge set
+    (same kernel, same per-bucket semantics — tested equivalent); used
+    when the run is not checkpointing the bucket stage and B × P stays
+    bounded (see ``cluster_corpus``)."""
+    cap = cfg.bucket_pair_cap
+    P = num_parts
+
+    def _map(t: pa.Table):
+        if t.num_rows == 0 or "bands" not in t.schema.names:
+            e = np.empty(0, np.int64)
+            return [(e, e)] * P
+        rows = explode_bands(t)
+        key = np.asarray(rows["bucket_key"], np.int64)
+        ids = np.asarray(rows["doc_id"], np.int64)
+        part = (key.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return _split_by_partition(part, P, key, ids)
+
+    def _reduce(*parts):
+        bk = np.concatenate([p[0] for p in parts])
+        ids = np.concatenate([p[1] for p in parts])
+        return bucket_pairs_arrays(bk, ids, cap)
+
+    results = _exchange_blocks(signed, _map, _reduce, P)
+    hist: dict[int, int] = {}
+    a_parts, b_parts = [], []
+    for pa_a, pa_b, size_vals, size_counts in results:
+        a_parts.append(pa_a)
+        b_parts.append(pa_b)
+        for s, c in zip(size_vals.tolist(), size_counts.tolist()):
+            hist[s] = hist.get(s, 0) + c
+    if not a_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64), {}
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    if a.size:
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = pairs[:, 0], pairs[:, 1]
+    return a, b, hist
 
 
 @dataclass
@@ -356,10 +418,34 @@ def containment_edges(
     return _containment_verify(corpus, signed, cfg, groups, precomp, metrics_out)
 
 
+def _anchor_groups_arrays(
+    anc: np.ndarray, ids: np.ndarray, cap: int
+) -> list[list[int]]:
+    """Anchor-group kernel over ONE partition's (anchor, doc_id) rows:
+    member lists of size 2..cap per distinct anchor. Shared by the
+    Dataset and flat-exchange discovery forms (identical groups)."""
+    order = np.lexsort((ids, anc))
+    out: list[list[int]] = []
+    for sl in coarse.group_slices(order, anc[order]):
+        members = np.unique(ids[order[sl]])
+        if 2 <= len(members) <= cap:
+            out.append(members.tolist())
+    return out
+
+
+def _explode_anchor_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    col = t["anchors"].combine_chunks()
+    flat = np.asarray(col.flatten(), np.int64)
+    lens = np.asarray(pa.compute.list_value_length(col), np.int64)
+    ids = np.repeat(np.asarray(t["doc_id"], np.int64), lens)
+    return flat, ids
+
+
 def _containment_discover_groups(
     signed: ray.data.Dataset,
     cfg: DedupConfig,
     metrics_out: dict | None = None,
+    flat: bool = False,
 ) -> list[tuple[int, ...]]:
     """Anchor-group discovery (the shuffle half of the containment
     pass): docs sharing a bottom-k shingle anchor, capped at
@@ -369,38 +455,60 @@ def _containment_discover_groups(
     on the driver (see ``_containment_verify``) with identical results —
     a group of b ≤ cap members is at most ``cap`` ints, so shipping the
     unpruned groups is cheap, and over-cap boilerplate anchors are
-    dropped by the cap either way."""
+    dropped by the cap either way.
+
+    ``flat=True`` runs the same exchange as flat task waves over the
+    materialized signed blocks (see ``_collect_edges_flat``)."""
+    cap = cfg.bucket_pair_cap
+    t0 = time.perf_counter()
+
+    if flat:
+        P = 64
+
+        def _map(t: pa.Table):
+            if t.num_rows == 0 or "anchors" not in t.schema.names:
+                e = np.empty(0, np.int64)
+                return [(e, e)] * P
+            flat_anc, ids = _explode_anchor_arrays(t)
+            part = coarse.int_partition(flat_anc, P).astype(np.int64)
+            return _split_by_partition(part, P, flat_anc, ids)
+
+        def _reduce(*parts):
+            anc = np.concatenate([p[0] for p in parts])
+            ids = np.concatenate([p[1] for p in parts])
+            return _anchor_groups_arrays(anc, ids, cap)
+
+        groups = sorted(
+            {
+                tuple(g)
+                for part in _exchange_blocks(signed, _map, _reduce, P)
+                for g in part
+            }
+        )
+        if metrics_out is not None:
+            metrics_out["n_groups_raw"] = len(groups)
+            metrics_out["sec_cont_groups"] = round(time.perf_counter() - t0, 3)
+        return groups
 
     def _explode_anchors(t: pa.Table) -> pa.Table:
-        col = t["anchors"].combine_chunks()
-        flat = np.asarray(col.flatten(), np.int64)
-        lens = np.asarray(pa.compute.list_value_length(col), np.int64)
-        ids = np.repeat(np.asarray(t["doc_id"], np.int64), lens)
-        return pa.table({"anchor": flat, "doc_id": ids})
+        flat_anc, ids = _explode_anchor_arrays(t)
+        return pa.table({"anchor": flat_anc, "doc_id": ids})
 
-    t0 = time.perf_counter()
     anchors = signed.map_batches(_explode_anchors, batch_format="pyarrow")
 
     # candidate groups: docs sharing an anchor (drop singleton anchors).
     # Coarse-partitioned: anchors are near-unique, so a per-anchor
     # map_groups would dominate on group overhead (stages/coarse.py).
-    from cloud_dedup_ray.stages import coarse
-
     def _add_part(t: pa.Table) -> pa.Table:
         part = coarse.int_partition(np.asarray(t["anchor"], np.int64), 64)
         return t.append_column("__part", pa.array(part))
 
-    cap = cfg.bucket_pair_cap
-
     def _group_ids(t: pa.Table) -> pa.Table:
-        anc = np.asarray(t["anchor"], np.int64)
-        ids = np.asarray(t["doc_id"], np.int64)
-        order = np.lexsort((ids, anc))
-        out: list[list[int]] = []
-        for sl in coarse.group_slices(order, anc[order]):
-            members = np.unique(ids[order[sl]])
-            if 2 <= len(members) <= cap:
-                out.append(members.tolist())
+        out = _anchor_groups_arrays(
+            np.asarray(t["anchor"], np.int64),
+            np.asarray(t["doc_id"], np.int64),
+            cap,
+        )
         return pa.table({"ids": pa.array(out, pa.list_(pa.int64()))})
 
     _group_ids.__name__ = "anchor_group"
@@ -771,6 +879,19 @@ def cluster_corpus(
     t_sign = time.perf_counter()
 
     num_parts = 64
+    # Flat-exchange fast path: when the bucket stage isn't being
+    # checkpointed and B × P stays bounded, both the banding shuffle and
+    # the anchor-group shuffle run as two flat task waves over the
+    # materialized signed blocks (exchange_blocks) — saving the 1-2 s
+    # Dataset-job launch + sort machinery of each groupby, the dominant
+    # non-scaling term of this stage. The Dataset groupby remains the
+    # checkpointable / unbounded-B path (Ray Data's shuffle spills;
+    # num_returns-based exchanges hold B × P objects at once).
+    use_flat = (
+        ckpt is None
+        and _is_materialized(signed)
+        and signed.num_blocks() * num_parts <= (1 << 16)
+    )
 
     def _build_pairs() -> ray.data.Dataset:
         band_rows = signed.map_batches(
@@ -780,7 +901,10 @@ def cluster_corpus(
             emit_bucket_pairs(cfg.bucket_pair_cap), batch_format="pyarrow"
         )
 
-    if ckpt:
+    pair_rows = None
+    if use_flat:
+        pass
+    elif ckpt:
         pair_rows, was = ckpt.run("lsh_buckets", _build_pairs)
         if was:
             resumed.append("lsh_buckets")
@@ -800,9 +924,13 @@ def cluster_corpus(
     if with_containment:
         pool = ThreadPoolExecutor(max_workers=1)
         f_groups = pool.submit(
-            _containment_discover_groups, signed, cfg, cont_detail
+            _containment_discover_groups, signed, cfg, cont_detail,
+            use_flat,
         )
-    edge_a, edge_b, size_hist = _collect_edges_and_sizes(pair_rows)
+    if use_flat:
+        edge_a, edge_b, size_hist = _collect_edges_flat(signed, cfg, num_parts)
+    else:
+        edge_a, edge_b, size_hist = _collect_edges_and_sizes(pair_rows)
     verified, vmetrics = _verify_edges(edge_a, edge_b, signed, corpus, cfg)
     t_lsh = time.perf_counter()
 

@@ -48,6 +48,42 @@ def coalesce_small_blocks(
     return ds
 
 
+def exchange_blocks(
+    ds: ray.data.Dataset, map_fn, reduce_fn, num_partitions: int
+) -> list:
+    """Two-wave hash-exchange over a materialized dataset's block refs —
+    a flat-task map/shuffle/reduce that skips the Dataset-job launch and
+    sort machinery (1-2 s serial each on this Ray build).
+
+    Wave 1 runs ``map_fn(block_table) -> [part_0, ..., part_{P-1}]`` as
+    one task per block with ``num_returns=P`` — each partition's slice
+    becomes its own object, so the exchange is store-to-store (the
+    driver never touches data, only refs). Wave 2 runs
+    ``reduce_fn(*parts)`` once per partition over that partition's B
+    slices. Returns the P reduce results.
+
+    Scale note: this is the same B × R exchange pattern Ray Data's sort
+    shuffle performs, minus its spilling/streaming integration — callers
+    should keep the Dataset groupby as the checkpointable/very-large
+    path and bound B × P here (see ``cluster_corpus``).
+    """
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return []
+    P = num_partitions
+    if P == 1:
+        mapper = ray.remote(num_cpus=1)(lambda t: map_fn(t)[0])
+        waves = [[mapper.remote(r)] for r in refs]
+    else:
+        mapper = ray.remote(num_cpus=1, num_returns=P)(map_fn)
+        waves = [mapper.remote(r) for r in refs]
+    reducer = ray.remote(num_cpus=1)(reduce_fn)
+    futures = [
+        reducer.remote(*[w[p] for w in waves]) for p in range(P)
+    ]
+    return ray.get(futures)
+
+
 def scan_blocks(ds: ray.data.Dataset, fn, *args) -> list:
     """Run ``fn(block_table, *args)`` as one flat Ray task per block of
     an already-materialized dataset. ``args`` may contain object refs

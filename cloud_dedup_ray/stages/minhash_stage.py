@@ -148,6 +148,53 @@ def add_bucket_partition(num_partitions: int):
     return _add
 
 
+def bucket_pairs_arrays(
+    bk: np.ndarray, ids: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate-pair kernel over ONE partition's (bucket_key, doc_id)
+    rows → (a, b, size_vals, size_counts). Shared verbatim by the
+    Dataset ``emit_bucket_pairs`` form and the flat-task exchange form
+    (``neardup._collect_edges_flat``), so the two execution paths emit
+    byte-identical edge sets. See ``emit_bucket_pairs`` for the pairing
+    and skew-cap semantics."""
+    order = np.lexsort((ids, bk))
+    keys = bk[order]
+    a_out, b_out = [], []
+    sizes = []
+    for sl in coarse.group_slices(order, keys):
+        members = np.unique(ids[order[sl]])
+        b = len(members)
+        sizes.append(b)
+        if b < 2:
+            continue
+        if b <= cap:
+            ai, bi = np.triu_indices(b, k=1)
+            a, bb = members[ai], members[bi]
+        else:
+            rep = members[0]
+            a = np.concatenate([members[:-1], np.full(b - 1, rep)])
+            bb = np.concatenate([members[1:], members[1:]])
+            keep = a != bb
+            a, bb = a[keep], bb[keep]
+        a_out.append(a)
+        b_out.append(bb)
+    size_vals, size_counts = np.unique(
+        np.asarray(sizes, np.int64), return_counts=True
+    )
+    if a_out:
+        # in-task dedup: the same pair recurs across bands that hash
+        # into this partition — dropping repeats here shrinks what
+        # the driver has to unique by the per-partition multiplicity
+        pairs = np.unique(
+            np.stack([np.concatenate(a_out), np.concatenate(b_out)], axis=1),
+            axis=0,
+        )
+        pa_a, pa_b = pairs[:, 0], pairs[:, 1]
+    else:
+        pa_a = pa_b = np.empty(0, np.int64)
+    return pa_a, pa_b, size_vals, size_counts.astype(np.int64)
+
+
 def emit_bucket_pairs(cap: int):
     """map_groups body over ONE coarse partition holding many
     (band_id, band_hash) buckets → candidate edges (a, b), a < b, plus
@@ -170,50 +217,14 @@ def emit_bucket_pairs(cap: int):
     def _pairs(table: pa.Table) -> pa.Table:
         bk = np.asarray(table["bucket_key"], np.int64)
         ids = np.asarray(table["doc_id"], np.int64)
-        order = np.lexsort((ids, bk))
-        keys = bk[order]
-        a_out, b_out = [], []
-        sizes = []
-        for sl in coarse.group_slices(order, keys):
-            members = np.unique(ids[order[sl]])
-            b = len(members)
-            sizes.append(b)
-            if b < 2:
-                continue
-            if b <= cap:
-                ai, bi = np.triu_indices(b, k=1)
-                a, bb = members[ai], members[bi]
-            else:
-                rep = members[0]
-                a = np.concatenate([members[:-1], np.full(b - 1, rep)])
-                bb = np.concatenate([members[1:], members[1:]])
-                keep = a != bb
-                a, bb = a[keep], bb[keep]
-            a_out.append(a)
-            b_out.append(bb)
-        size_vals, size_counts = np.unique(
-            np.asarray(sizes, np.int64), return_counts=True
-        )
-        if a_out:
-            # in-task dedup: the same pair recurs across bands that hash
-            # into this partition — dropping repeats here shrinks what
-            # the driver has to unique by the per-partition multiplicity
-            pairs = np.unique(
-                np.stack([np.concatenate(a_out), np.concatenate(b_out)], axis=1),
-                axis=0,
-            )
-            pa_a, pa_b = pairs[:, 0], pairs[:, 1]
-        else:
-            pa_a = pa_b = np.empty(0, np.int64)
+        pa_a, pa_b, size_vals, size_counts = bucket_pairs_arrays(bk, ids, cap)
         n_pairs = len(pa_a)
         return pa.table(
             {
                 "a": np.concatenate(
                     [pa_a, np.full(len(size_vals), -1, np.int64)]
                 ),
-                "b": np.concatenate(
-                    [pa_b, size_counts.astype(np.int64)]
-                ),
+                "b": np.concatenate([pa_b, size_counts]),
                 "bucket_size": np.concatenate(
                     [np.zeros(n_pairs, np.int64), size_vals]
                 ),

@@ -260,3 +260,47 @@ def test_task_and_actor_signers_byte_identical(small_corpus):
         }
 
     assert rows("task") == rows("actor")
+
+
+def test_flat_exchange_matches_dataset_shuffle(small_corpus):
+    """The flat-task exchange (exchange_blocks) and the Dataset groupby
+    must emit the IDENTICAL candidate-edge set, bucket histogram and
+    anchor groups — they share the per-partition kernels."""
+    from cloud_dedup_ray.pipelines.neardup import (
+        _collect_edges_and_sizes,
+        _collect_edges_flat,
+        _containment_discover_groups,
+        sign_dataset,
+    )
+    from cloud_dedup_ray.stages.minhash_stage import (
+        add_bucket_partition,
+        emit_bucket_pairs,
+        explode_bands,
+    )
+
+    ds = ray.data.from_arrow(small_corpus)
+    corpus = (
+        project_corpus(ds, drop_content=False)
+        .filter(expr="is_symlink == False")
+        .materialize()
+    )
+    cfg = DedupConfig(bucket_pair_cap=32)
+    signed = sign_dataset(corpus, cfg).materialize()
+
+    a_f, b_f, hist_f = _collect_edges_flat(signed, cfg, 64)
+    pair_rows = (
+        signed.map_batches(explode_bands, batch_format="pyarrow")
+        .map_batches(add_bucket_partition(64), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit_bucket_pairs(cfg.bucket_pair_cap), batch_format="pyarrow")
+    )
+    a_d, b_d, hist_d = _collect_edges_and_sizes(pair_rows)
+    assert set(zip(a_f.tolist(), b_f.tolist())) == set(
+        zip(a_d.tolist(), b_d.tolist())
+    )
+    assert len(a_f) > 0
+    assert hist_f == hist_d
+
+    g_flat = _containment_discover_groups(signed, cfg, flat=True)
+    g_ds = _containment_discover_groups(signed, cfg, flat=False)
+    assert g_flat == g_ds and len(g_flat) > 0
