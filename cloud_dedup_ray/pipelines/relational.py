@@ -356,3 +356,135 @@ def distinct_part_types(sf_dir: str) -> pd.DataFrame:
     """DISTINCT via the Dataset unique path (shuffle dedup on the key)."""
     vals = _read(sf_dir, "part", ["p_type"]).unique("p_type")
     return pd.DataFrame({"p_type": sorted(vals)})
+
+
+def events_asof_attribution(sf_dir: str) -> pd.DataFrame:
+    """As-of join (attribution shape): for each *purchase* event, the
+    most recent *click* event at-or-before it by the same user. Ray Data
+    has no as-of join primitive, so it is composed as ONE co-partition
+    shuffle: filter to the two event types, ``groupby(user_id)``, and a
+    per-group sorted ``searchsorted`` merge inside ``map_groups``.
+    Partitioning assumption: one user's events fit in one group (same
+    assumption as sessionization; hot users would need ts-range salting
+    with a boundary pass). Ties on click ts break to the max event_id —
+    matched exactly by the oracle's ORDER BY ts DESC, event_id DESC."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        return t.filter(m)
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        is_click = (df["event_type"] == "click").to_numpy()
+        clicks = df[is_click].sort_values(["ts", "event_id"])
+        buys = df[~is_click]
+        if clicks.empty or buys.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                    "click_id": pd.Series([], dtype="int64"),
+                    "click_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        cts = clicks["ts"].to_numpy()
+        idx = np.searchsorted(cts, buys["ts"].to_numpy(), side="right") - 1
+        ok = idx >= 0
+        idx = idx[ok]
+        buys = buys[ok]
+        return pd.DataFrame(
+            {
+                "purchase_id": buys["event_id"].to_numpy(),
+                "user_id": buys["user_id"].to_numpy(),
+                "purchase_ts": buys["ts"].to_numpy(),
+                "click_id": clicks["event_id"].to_numpy()[idx],
+                "click_ts": cts[idx],
+            }
+        )
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(attribute, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+def events_range_join_clicks(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
+    """Range (interval) join: for each purchase event, count the same
+    user's click events with ts in ``(purchase_ts - window, purchase_ts]``
+    and sum their values. Composed as one ``groupby(user_id)`` shuffle
+    with a per-group double-``searchsorted`` over the time-sorted clicks
+    — the standard distributed interval-join-on-a-key plan (no n×m
+    blowup; per-task memory is one user's events)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        return t.filter(m)
+
+    win = np.timedelta64(window_minutes * 60, "s")
+
+    def count_window(df: pd.DataFrame) -> pd.DataFrame:
+        is_click = (df["event_type"] == "click").to_numpy()
+        clicks = df[is_click].sort_values("ts")
+        buys = df[~is_click]
+        if buys.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_clicks": pd.Series([], dtype="int64"),
+                    "sum_click_value": pd.Series([], dtype="float64"),
+                }
+            )
+        cts = clicks["ts"].to_numpy()
+        cval = clicks["value"].to_numpy()
+        bts = buys["ts"].to_numpy()
+        lo = np.searchsorted(cts, bts - win, side="right")
+        hi = np.searchsorted(cts, bts, side="right")
+        sums = np.array([cval[a:b].sum() if b > a else 0.0 for a, b in zip(lo, hi)])
+        return pd.DataFrame(
+            {
+                "purchase_id": buys["event_id"].to_numpy(),
+                "user_id": buys["user_id"].to_numpy(),
+                "n_clicks": (hi - lo).astype(np.int64),
+                "sum_click_value": np.round(sums, 4),
+            }
+        )
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(count_window, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+def orders_running_totals(sf_dir: str) -> pd.DataFrame:
+    """Cumulative window aggregate (SUM OVER ... ROWS UNBOUNDED PRECEDING
+    twin): per-customer running spend over orders in (o_orderdate,
+    o_orderkey) order — keyed prefix scan via ``groupby.map_groups`` +
+    ``np.cumsum`` (same left-to-right association as the SQL window)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"])
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "o_orderdate": df["o_orderdate"].to_numpy(),
+                "running_spend": np.round(np.cumsum(df["o_totalprice"].to_numpy()), 2),
+            }
+        )
+
+    out = (
+        ds.groupby("o_custkey")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
