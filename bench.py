@@ -185,6 +185,16 @@ def run_bench() -> dict:
             k: nd.metrics[k]
             for k in ("sec_sign", "sec_lsh_verify", "sec_containment")
         },
+        "detail": {
+            k: nd.metrics[k]
+            for k in (
+                "sec_cont_fetch", "sec_cont_verify", "sec_verify_sig_fetch",
+                "sec_verify_estimate", "sec_verify_exact", "n_cont_pairs",
+                "n_cont_pairs_screened", "n_docs_fetched", "n_candidates",
+                "n_exact_checked",
+            )
+            if k in nd.metrics
+        },
     }
     # Drop every Dataset-holding local BEFORE ray.shutdown: a
     # MaterializedDataset destructor that runs after shutdown (frame

@@ -300,48 +300,88 @@ def _verify_edges(
     }
 
 
-def _fetch_normalized_texts(
-    corpus: ray.data.Dataset, need_ref
-) -> list[tuple[int, str]]:
-    """Semi-join the normalized content of the wanted doc_ids out of the
-    corpus (broadcast sorted-id filter; filter first, THEN normalize so
-    the kernel runs only over selected rows). Task wave over block refs
-    when the corpus is materialized, Dataset job otherwise."""
+def _routed_text_exchange(
+    corpus: ray.data.Dataset,
+    chunk_needs: list[np.ndarray],
+    reduce_fn,
+    reduce_extra: list,
+    col: str = "content",
+) -> list:
+    """Store-to-store normalized-text routing: partition P's verifier
+    needs the docs in ``chunk_needs[P]``. One flat exchange over the
+    corpus blocks selects + normalizes each needed doc ONCE per block,
+    splits the rows by destination partition (a doc pair-listed in k
+    partitions ships k times — k is small and bounded by the chunking),
+    and runs ``reduce_fn(*text_tables, reduce_extra[P])`` per partition.
+    The driver never touches text — it sees only the reduce results
+    (edge lists), which removes the fetch-to-driver + re-pickle-per-chunk
+    round trip that made the old path driver-bandwidth-bound."""
+    route_ids = np.concatenate(chunk_needs)
+    route_parts = np.concatenate(
+        [np.full(len(n), p, np.int64) for p, n in enumerate(chunk_needs)]
+    )
+    order = np.argsort(route_ids, kind="stable")
+    route_ids, route_parts = route_ids[order], route_parts[order]
+    P = len(chunk_needs)
+    route_ref = ray.put((route_ids, route_parts))
 
-    def _content_block(t: pa.Table, wanted: np.ndarray):
-        # empty blocks after a filter can carry an EMPTY schema
-        if t.num_rows == 0 or "doc_id" not in t.schema.names:
-            return []
-        ids = np.asarray(t["doc_id"], np.int64)
-        mask = np.isin(ids, wanted)
-        if not mask.any():
-            return []
-        sel = t.filter(pa.array(mask))
-        norm = normalize(sel["content"].combine_chunks())
-        return [
-            (d, c or "")
-            for d, c in zip(sel["doc_id"].to_pylist(), norm.to_pylist())
-        ]
-
-    if _is_materialized(corpus):
-        parts = _scan_blocks(corpus, _content_block, need_ref)
-        return [item for part in parts for item in part]
-
-    def _content_filter(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
-        sel = t.filter(pa.array(mask))
-        return pa.table(
-            {"doc_id": sel["doc_id"], "norm": normalize(sel["content"])}
+    def _map(t: pa.Table):
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "norm": pa.array([], pa.string())}
         )
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return [empty] * P
+        rids, rparts = ray.get(route_ref)
+        ids = np.asarray(t["doc_id"], np.int64)
+        lo = np.searchsorted(rids, ids)
+        hi = np.searchsorted(rids, ids, side="right")
+        sel_mask = hi > lo
+        if not sel_mask.any():
+            return [empty] * P
+        sel = t.filter(pa.array(sel_mask))
+        norm = normalize(sel[col].combine_chunks())
+        sids = ids[sel_mask]
+        lo, hi = lo[sel_mask], hi[sel_mask]
+        row_idx = np.repeat(np.arange(len(sids)), hi - lo)
+        flat = (
+            np.concatenate([rparts[a:b] for a, b in zip(lo, hi)])
+            if len(sids)
+            else np.empty(0, np.int64)
+        )
+        o = np.argsort(flat, kind="stable")
+        bounds = np.searchsorted(flat[o], np.arange(P + 1))
+        out = []
+        for p in range(P):
+            sl = o[bounds[p] : bounds[p + 1]]
+            if sl.size == 0:
+                out.append(empty)
+                continue
+            ridx = row_idx[sl]
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(sids[ridx], pa.int64()),
+                        "norm": norm.take(pa.array(ridx, pa.int64())),
+                    }
+                )
+            )
+        return out
 
-    out: list[tuple[int, str]] = []
-    for bt in corpus.map_batches(_content_filter, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for d, c in zip(bt["doc_id"].to_pylist(), bt["norm"].to_pylist()):
-            out.append((d, c or ""))
-    return out
+    return _exchange_blocks(corpus, _map, reduce_fn, P, reduce_extra=reduce_extra)
+
+
+def _docs_of_tables(parts) -> dict[int, str]:
+    """Assemble a doc_id → normalized-text dict from routed text tables."""
+    docs: dict[int, str] = {}
+    for tb in parts:
+        if tb.num_rows:
+            docs.update(
+                zip(
+                    tb["doc_id"].to_pylist(),
+                    (s or "" for s in tb["norm"].to_pylist()),
+                )
+            )
+    return docs
 
 
 def _exact_jaccard_edges(
@@ -349,21 +389,19 @@ def _exact_jaccard_edges(
     pairs: list[tuple[int, int]],
     cfg: DedupConfig,
 ) -> list[tuple[int, int]]:
-    """Exact shingle-Jaccard check for borderline pairs: fetch the
-    normalized content of involved docs (broadcast semi-join — the pair
-    population ≪ corpus), shingle each doc once, intersect per pair in
-    chunked Ray tasks."""
+    """Exact shingle-Jaccard check for borderline pairs: the pair list is
+    chunked, each chunk's normalized texts are routed store-to-store to
+    its verify task (``_routed_text_exchange``), each doc is shingled
+    once per task, pairs intersected vectorized. No text ever lands on
+    the driver."""
     from cloud_dedup_ray.functions.minhash import exact_jaccard
     from cloud_dedup_ray.functions.text import TokenHashCache, token_shingles_hashed
 
-    needed = np.unique(np.asarray([d for p in pairs for d in p], np.int64))
-    need_ref = ray.put(needed)
-    texts: dict[int, str] = dict(_fetch_normalized_texts(corpus, need_ref))
-
     shingle_k, thr, min_chars = cfg.shingle_k, cfg.jaccard_threshold, cfg.min_doc_chars
 
-    @ray.remote
-    def _check(chunk: list[tuple[int, int]], docs: dict[int, str]) -> list[tuple[int, int]]:
+    def _check(*args) -> list[tuple[int, int]]:
+        *parts, chunk = args
+        docs = _docs_of_tables(parts)
         cache = TokenHashCache()
         sh: dict[int, np.ndarray] = {}
         out = []
@@ -380,14 +418,13 @@ def _exact_jaccard_edges(
                 out.append((x, y))
         return out
 
-    docs_ref = ray.put(texts)
     chunk_size = max(64, len(pairs) // 32)
-    futures = [
-        _check.remote(pairs[i : i + chunk_size], docs_ref)
-        for i in range(0, len(pairs), chunk_size)
+    chunks = [pairs[i : i + chunk_size] for i in range(0, len(pairs), chunk_size)]
+    needs = [
+        np.unique(np.asarray([d for p in c for d in p], np.int64)) for c in chunks
     ]
     out: list[tuple[int, int]] = []
-    for res in ray.get(futures):
+    for res in _routed_text_exchange(corpus, needs, _check, chunks):
         out.extend(res)
     return out
 
@@ -683,21 +720,13 @@ def _containment_verify(
         for lo, hi in zip(bounds[:-1], bounds[1:])
     ]
 
-    # fetch normalized contents for pair members only (semi-join
-    # broadcast of the needed-id array; filter first, THEN normalize)
-    needed = np.fromiter(
-        sorted({d for big, smalls in groups for d in (big, *smalls)}), np.int64
-    )
-    need_ref = ray.put(needed)
-    texts: dict[int, str] = dict(_fetch_normalized_texts(corpus, need_ref))
-
-    # distribute verification as CHUNKED ray tasks over (big, smalls)
-    # work items: each big doc's suffix array is built EXACTLY once, the
-    # shared docs dict is deserialized once per task (not per pair).
-    @ray.remote
-    def _verify_chunk(
-        chunk: list[tuple[int, tuple[int, ...]]], docs: dict[int, str]
-    ) -> list[tuple[int, int]]:
+    # verification as one routed text exchange over CHUNKED (big, smalls)
+    # work items: each chunk's normalized texts ship store-to-store to
+    # its verify task (never through the driver), each big doc's suffix
+    # array is built exactly once inside its task.
+    def _verify_chunk(*args) -> list[tuple[int, int]]:
+        *parts, chunk = args
+        docs = _docs_of_tables(parts)
         out = []
         for big, smalls in chunk:
             bt = docs.get(big, "")
@@ -714,23 +743,26 @@ def _containment_verify(
                     out.append((min(big, small), max(big, small)))
         return out
 
-    cont_metrics["n_docs_fetched"] = len(texts)
+    cont_metrics["n_docs_fetched"] = len(
+        np.unique(np.concatenate([pairs_arr[:, 0], pairs_arr[:, 1]]))
+    )
     cont_metrics["sec_cont_fetch"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    # contiguous chunks over the big-sorted groups, each shipped with
-    # ONLY its own docs — a single shared dict would be deserialized in
-    # full by every task (n_chunks × corpus-subset bytes of unpickling)
+    # contiguous chunks over the big-sorted groups: all of one big doc's
+    # pairs stay in one chunk (one suffix array), and a doc recurring
+    # across chunks ships once per chunk (bounded duplication)
     n_chunks = min(64, len(groups))
     step = -(-len(groups) // n_chunks)
     chunks = [groups[i : i + step] for i in range(0, len(groups), step)]
-    futures = []
-    for c in chunks:
-        need = {d for big_doc, smalls in c for d in (big_doc, *smalls)}
-        futures.append(
-            _verify_chunk.remote(c, {d: texts[d] for d in need})
+    needs = [
+        np.fromiter(
+            sorted({d for big_doc, smalls in c for d in (big_doc, *smalls)}),
+            np.int64,
         )
+        for c in chunks
+    ]
     edges: list[tuple[int, int]] = []
-    for res in ray.get(futures):
+    for res in _routed_text_exchange(corpus, needs, _verify_chunk, chunks):
         edges.extend(res)
     cont_metrics["sec_cont_verify"] = round(time.perf_counter() - t0, 3)
     if metrics_out is not None:

@@ -363,36 +363,21 @@ def _exact_ngram_jaccard(
     n: int,
     threshold: float,
 ) -> list[tuple[int, int, float]]:
-    """Exact char-n-gram Jaccard for candidate pairs: semi-join the
-    involved docs' normalized text out of the Dataset (broadcast id
-    filter — candidates ≪ corpus), then score pair chunks in Ray tasks,
-    hashing each doc's grams once per task."""
+    """Exact char-n-gram Jaccard for candidate pairs: the pair list is
+    chunked, each chunk's normalized texts routed store-to-store to its
+    scoring task (``neardup._routed_text_exchange`` — no text lands on
+    the driver), each doc's grams hashed once per task."""
     if not pairs:
         return []
     from cloud_dedup_ray.functions.text import char_ngrams_hashed
+    from cloud_dedup_ray.pipelines.neardup import (
+        _docs_of_tables,
+        _routed_text_exchange,
+    )
 
-    needed = np.unique(np.asarray([d for p in pairs for d in p], np.int64))
-    need_ref = ray.put(needed)
-
-    def _filter(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = np.isin(np.asarray(t["doc_id"], np.int64), wanted)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"].filter(pa.array(mask)),
-                "norm": normalize(t["text"].filter(pa.array(mask))),
-            }
-        )
-
-    texts: dict[int, str] = {}
-    for bt in docs.map_batches(_filter, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for d, c in zip(bt["doc_id"].to_pylist(), bt["norm"].to_pylist()):
-            texts[d] = c or ""
-
-    @ray.remote
-    def _score(chunk, docs_map):
+    def _score(*args):
+        *parts, chunk = args
+        docs_map = _docs_of_tables(parts)
         grams: dict[int, np.ndarray] = {}
         out = []
         for x, y in chunk:
@@ -408,13 +393,12 @@ def _exact_ngram_jaccard(
                 out.append((min(x, y), max(x, y), round(j, 6)))
         return out
 
-    docs_ref = ray.put(texts)
     chunk_size = max(64, len(pairs) // 32)
-    futures = [
-        _score.remote(pairs[i : i + chunk_size], docs_ref)
-        for i in range(0, len(pairs), chunk_size)
+    chunks = [pairs[i : i + chunk_size] for i in range(0, len(pairs), chunk_size)]
+    needs = [
+        np.unique(np.asarray([d for p in c for d in p], np.int64)) for c in chunks
     ]
     out: list[tuple[int, int, float]] = []
-    for res in ray.get(futures):
+    for res in _routed_text_exchange(docs, needs, _score, chunks, col="text"):
         out.extend(res)
     return out

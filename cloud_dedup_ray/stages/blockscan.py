@@ -49,7 +49,8 @@ def coalesce_small_blocks(
 
 
 def exchange_blocks(
-    ds: ray.data.Dataset, map_fn, reduce_fn, num_partitions: int
+    ds: ray.data.Dataset, map_fn, reduce_fn, num_partitions: int,
+    reduce_extra: list | None = None,
 ) -> list:
     """Two-wave hash-exchange over a materialized dataset's block refs —
     a flat-task map/shuffle/reduce that skips the Dataset-job launch and
@@ -61,6 +62,11 @@ def exchange_blocks(
     driver never touches data, only refs). Wave 2 runs
     ``reduce_fn(*parts)`` once per partition over that partition's B
     slices. Returns the P reduce results.
+
+    ``reduce_extra`` (optional, len == P) appends one per-partition
+    argument to the reduce call: ``reduce_fn(*parts, extra_p)`` — the
+    hook for partition-specific work lists (e.g. "this partition's
+    candidate pairs") without routing them through the map wave.
 
     Scale note: this is the same B × R exchange pattern Ray Data's sort
     shuffle performs, minus its spilling/streaming integration — callers
@@ -79,7 +85,11 @@ def exchange_blocks(
         waves = [mapper.remote(r) for r in refs]
     reducer = ray.remote(num_cpus=1)(reduce_fn)
     futures = [
-        reducer.remote(*[w[p] for w in waves]) for p in range(P)
+        reducer.remote(
+            *[w[p] for w in waves],
+            *(() if reduce_extra is None else (reduce_extra[p],)),
+        )
+        for p in range(P)
     ]
     return ray.get(futures)
 
