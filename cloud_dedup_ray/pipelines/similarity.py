@@ -368,3 +368,77 @@ def emb_knn_ivf(
     out = parts.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
     out["cos_sim"] = out["cos_sim"].round(4)
     return out.reset_index(drop=True)
+
+
+def emb_centroid_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language embedding centroids: fact-fact shuffle join of the
+    ``embeddings`` table with ``documents`` on vec_id == doc_id, then a
+    vectorized per-batch partial (sum vector + count per language) and a
+    tiny ``groupby(lang, dim)`` rollup — the join is the only wide step;
+    the 64-dim vector sums leave each batch as at most
+    ``n_langs × dim`` partial rows. Long output (lang, dim, centroid,
+    n_vectors) keeps every column scalar (oracle-hashable)."""
+    from ray.data.aggregate import Sum
+
+    def pack(t: pa.Table) -> pa.Table:
+        # Arrow's hash join rejects list<float> payload columns — pack
+        # the vector into fixed-size binary for the shuffle (vectorized
+        # view, no per-row Python), unpack on the far side.
+        ids, mat = _batch_matrix(t)
+        rows = np.ascontiguousarray(mat.astype(np.float32))
+        width = rows.shape[1] * 4
+        packed = pa.Array.from_buffers(
+            pa.binary(width), len(ids), [None, pa.py_buffer(rows.tobytes())]
+        )
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "vec": packed})
+
+    emb = _emb(sf_dir).map_batches(pack, batch_format="pyarrow")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    joined = emb.join(docs, join_type="inner", num_partitions=16, on=("doc_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        col = t["vec"].combine_chunks()
+        width = col.type.byte_width
+        dim = width // 4
+        raw = np.frombuffer(col.buffers()[1], np.uint8)
+        start = col.offset * width
+        mat = (
+            raw[start : start + len(col) * width]
+            .view(np.float32)
+            .reshape(len(col), dim)
+            .astype(np.float64)
+        )
+        langs = np.asarray(t["lang"])
+        uniq, inv = np.unique(langs, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.reshape(-1)),
+                "c": pa.array(np.repeat(counts, dim)),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="n_vectors"))
+        .to_pandas()
+    )
+    out["centroid"] = (out["s"] / out["n_vectors"]).round(6)
+    out = out.drop(columns=["s"])
+    return out.sort_values(["lang", "dim"]).reset_index(drop=True)

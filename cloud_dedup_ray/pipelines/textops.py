@@ -57,6 +57,46 @@ def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("content_hash").reset_index(drop=True)
 
 
+def docs_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Quality-ranked dedup: group docs by the md5 of their whitespace-
+    normalized lowercase text (so copies that differ only in case or
+    spacing collide) and keep the highest-quality copy per group, tie
+    broken to the min doc_id — the "keep best extraction, not first
+    seen" policy a training-data pipeline wants. One shuffle: per-batch
+    (fingerprint, quality) partials → groupby(fingerprint) argmax."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scored(t: pa.Table) -> pa.Table:
+        f = quality_features(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": md5_hex(normalize(t["text"])),
+                "quality": quality_score(f),
+            }
+        )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["quality", "doc_id"], ascending=[False, True])
+        top = df.iloc[0]
+        return pd.DataFrame(
+            {
+                "fingerprint": [top["fingerprint"]],
+                "best_doc_id": [int(top["doc_id"])],
+                "best_quality": [float(top["quality"])],
+                "n_copies": [len(df)],
+            }
+        )
+
+    out = (
+        ds.map_batches(scored, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("fingerprint").reset_index(drop=True)
+
+
 def docs_token_count(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(
