@@ -70,6 +70,14 @@ class DedupConfig:
     #: the driver union-find; the driver UF still prunes the containment
     #: pass mid-pipeline (its edges are already collected for verify).
     distributed_components_threshold: int = 5_000_000
+    #: candidate-pair-member count above which the signature-estimate
+    #: step runs as a partitioned hash join of pairs × signatures
+    #: (``neardup._estimate_pairs_distributed`` — three flat task waves,
+    #: driver never holds signatures); below it the broadcast fetch +
+    #: driver estimate is faster (one task wave). At 100-TB scale the
+    #: distributed path is mandatory: the driver fetch is O(members ×
+    #: num_perm × 8) bytes.
+    distributed_estimate_threshold: int = 2_000_000
     #: rows per batch for the hashing / signing stages
     batch_size: int = 2048
     #: 'task' = task-pool signing with the signer cached per worker

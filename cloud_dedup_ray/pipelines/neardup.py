@@ -250,6 +250,136 @@ def _estimate_pair_jaccard(
     return est
 
 
+def _estimate_pairs_distributed(
+    signed: ray.data.Dataset,
+    a: np.ndarray,
+    b: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    num_parts: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed signature-estimate for candidate pairs — the scale
+    form of ``_fetch_signatures`` + ``_estimate_pair_jaccard``: a
+    partitioned hash join of pairs × signatures on doc_id, as three flat
+    task waves (signatures hash-split out of the signed blocks and kept
+    in the object store; pairs routed by hash(a) to pick up sig_a, then
+    re-routed by hash(b) to pick up sig_b and estimate). The driver
+    never holds a signature; per-task memory is one hash partition of
+    the signature matrix plus its pairs. Returns
+    ``(accepted, uncertain)`` pair arrays: accepted where est ≥ hi[i],
+    uncertain where lo[i] ≤ est < hi[i] (pass lo == hi for a pure
+    accept/reject screen). Pair ids missing from ``signed`` estimate as
+    rejected."""
+    P = num_parts
+
+    def _hash_part(ids: np.ndarray) -> np.ndarray:
+        return (ids.view(np.uint64) % np.uint64(P)).astype(np.int64)
+
+    def _sig_split(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            e = np.empty(0, np.int64)
+            s = np.empty((0, 1), np.uint64)
+            return [(e, s)] * P
+        ids = np.asarray(t["doc_id"], np.int64)
+        col = t["sig"].combine_chunks()
+        num_perm = col.type.list_size
+        sigs = np.asarray(col.flatten()).reshape(-1, num_perm)
+        out = []
+        for pids, in_idx in zip(
+            *_split_with_indices(_hash_part(ids), P, ids)
+        ):
+            out.append((pids, np.take(sigs, in_idx, axis=0)))
+        return out
+
+    def _sig_consolidate(*parts):
+        ids = np.concatenate([p[0] for p in parts])
+        sigs = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids)
+        return ids[order], np.take(sigs, order, axis=0)
+
+    refs = signed.to_arrow_refs()
+    splitter = ray.remote(num_cpus=1, num_returns=P)(_sig_split)
+    waves = [splitter.remote(r) for r in refs]
+    consolidate = ray.remote(num_cpus=1)(_sig_consolidate)
+    # per-partition (ids_sorted, sig_matrix) — stays in the object store
+    sig_parts = [consolidate.remote(*[w[p] for w in waves]) for p in range(P)]
+
+    def _attach_a(sig_part, pa_, pb, plo, phi):
+        ids_s, sigs_s = sig_part
+        idx = np.searchsorted(ids_s, pa_).clip(0, max(len(ids_s) - 1, 0))
+        found = ids_s[idx] == pa_ if len(ids_s) else np.zeros(len(pa_), bool)
+        pa_, pb, plo, phi, idx = (
+            pa_[found], pb[found], plo[found], phi[found], idx[found]
+        )
+        sa = np.take(sigs_s, idx, axis=0)
+        part = _hash_part(pb)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        return [
+            (
+                pa_[order[l:h]], pb[order[l:h]], plo[order[l:h]],
+                phi[order[l:h]], np.take(sa, order[l:h], axis=0),
+            )
+            for l, h in zip(bounds[:-1], bounds[1:])
+        ]
+
+    def _finish(sig_part, *slices):
+        ids_s, sigs_s = sig_part
+        pa_ = np.concatenate([s[0] for s in slices])
+        pb = np.concatenate([s[1] for s in slices])
+        plo = np.concatenate([s[2] for s in slices])
+        phi = np.concatenate([s[3] for s in slices])
+        sa = np.concatenate([s[4] for s in slices])
+        idx = np.searchsorted(ids_s, pb).clip(0, max(len(ids_s) - 1, 0))
+        found = ids_s[idx] == pb if len(ids_s) else np.zeros(len(pb), bool)
+        est = np.full(len(pb), -1.0)
+        if found.any():
+            sb = np.take(sigs_s, idx[found], axis=0)
+            est[found] = (sa[found] == sb).mean(axis=1)
+        acc = est >= phi
+        unc = (~acc) & (est >= plo)
+        return (
+            np.stack([pa_[acc], pb[acc]], axis=1) if acc.any() else np.empty((0, 2), np.int64),
+            np.stack([pa_[unc], pb[unc]], axis=1) if unc.any() else np.empty((0, 2), np.int64),
+        )
+
+    part_a = _hash_part(a)
+    order = np.argsort(part_a, kind="stable")
+    bounds = np.searchsorted(part_a[order], np.arange(P + 1))
+    attach = ray.remote(num_cpus=1, num_returns=P)(_attach_a)
+    wave2 = []
+    for p, (l, h) in enumerate(zip(bounds[:-1], bounds[1:])):
+        sl = order[l:h]
+        wave2.append(
+            attach.remote(sig_parts[p], a[sl], b[sl], lo[sl], hi[sl])
+        )
+    finisher = ray.remote(num_cpus=1)(_finish)
+    results = ray.get(
+        [
+            finisher.remote(sig_parts[q], *[wave2[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+    )
+    acc = np.concatenate([r[0] for r in results]) if results else np.empty((0, 2), np.int64)
+    unc = np.concatenate([r[1] for r in results]) if results else np.empty((0, 2), np.int64)
+    return acc, unc
+
+
+def _split_with_indices(
+    part: np.ndarray, num_partitions: int, ids: np.ndarray
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Split ``ids`` by partition id, also returning the source indices
+    of each slice (for gathering aligned 2-D payloads with np.take)."""
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
+    id_parts, idx_parts = [], []
+    for lo_, hi_ in zip(bounds[:-1], bounds[1:]):
+        sel = order[lo_:hi_]
+        id_parts.append(ids[sel])
+        idx_parts.append(sel)
+    return id_parts, idx_parts
+
+
 def _verify_edges(
     a: np.ndarray,
     b: np.ndarray,
@@ -275,20 +405,31 @@ def _verify_edges(
     if len(a) == 0:
         return [], {"n_candidates": 0, "n_verified": 0, "n_exact_checked": 0}
     t0 = time.perf_counter()
-    cand_ids = np.unique(np.concatenate([a, b]))
-    all_ids, all_sigs = _fetch_signatures(signed, cand_ids)
-    t_fetch = time.perf_counter()
-    est = _estimate_pair_jaccard(all_ids, all_sigs, a, b)
     margin = cfg.verify_margin
-    accept = est >= cfg.jaccard_threshold + margin
-    uncertain = (~accept) & (est >= cfg.jaccard_threshold - margin)
-    verified = list(zip(a[accept].tolist(), b[accept].tolist()))
-    t_est = time.perf_counter()
-    n_exact = int(uncertain.sum())
-    if n_exact:
-        exact_ok = _exact_jaccard_edges(
-            corpus, list(zip(a[uncertain].tolist(), b[uncertain].tolist())), cfg
+    cand_ids = np.unique(np.concatenate([a, b]))
+    if len(cand_ids) > cfg.distributed_estimate_threshold:
+        # scale path: partitioned hash join of pairs × signatures —
+        # driver never holds the signature matrix
+        t_fetch = time.perf_counter()
+        acc_pairs, unc_pairs = _estimate_pairs_distributed(
+            signed, a, b,
+            np.full(len(a), cfg.jaccard_threshold - margin),
+            np.full(len(a), cfg.jaccard_threshold + margin),
         )
+        verified = list(map(tuple, acc_pairs.tolist()))
+        uncertain_list = list(map(tuple, unc_pairs.tolist()))
+    else:
+        all_ids, all_sigs = _fetch_signatures(signed, cand_ids)
+        t_fetch = time.perf_counter()
+        est = _estimate_pair_jaccard(all_ids, all_sigs, a, b)
+        accept = est >= cfg.jaccard_threshold + margin
+        uncertain = (~accept) & (est >= cfg.jaccard_threshold - margin)
+        verified = list(zip(a[accept].tolist(), b[accept].tolist()))
+        uncertain_list = list(zip(a[uncertain].tolist(), b[uncertain].tolist()))
+    t_est = time.perf_counter()
+    n_exact = len(uncertain_list)
+    if n_exact:
+        exact_ok = _exact_jaccard_edges(corpus, uncertain_list, cfg)
         verified.extend(exact_ok)
     return verified, {
         "n_candidates": len(a),
@@ -696,14 +837,24 @@ def _containment_verify(
     sig_margin = cfg.containment_sig_margin
     if sig_margin >= 0:
         pair_members = np.unique(pairs_arr)
-        sig_ids, sig_mat = _fetch_signatures(signed, pair_members)
         nb = _counts_of(pairs_arr[:, 0]).astype(np.float64)
         ns = _counts_of(pairs_arr[:, 1]).astype(np.float64)
         r = np.divide(ns, nb, out=np.zeros_like(ns), where=nb > 0)
-        est = _estimate_pair_jaccard(
-            sig_ids, sig_mat, pairs_arr[:, 0], pairs_arr[:, 1]
-        )
-        pairs_arr = pairs_arr[est >= r - sig_margin]
+        cut = r - sig_margin
+        if len(pair_members) > cfg.distributed_estimate_threshold:
+            # scale path: pure accept/reject screen (lo == hi) via the
+            # partitioned pairs × signatures hash join; restore the
+            # big-major row order the grouping below depends on
+            acc, _ = _estimate_pairs_distributed(
+                signed, pairs_arr[:, 0], pairs_arr[:, 1], cut, cut
+            )
+            pairs_arr = np.unique(acc, axis=0) if len(acc) else acc
+        else:
+            sig_ids, sig_mat = _fetch_signatures(signed, pair_members)
+            est = _estimate_pair_jaccard(
+                sig_ids, sig_mat, pairs_arr[:, 0], pairs_arr[:, 1]
+            )
+            pairs_arr = pairs_arr[est >= cut]
         cont_metrics["n_cont_pairs_screened"] = len(pairs_arr)
         if not len(pairs_arr):
             if metrics_out is not None:

@@ -304,3 +304,29 @@ def test_flat_exchange_matches_dataset_shuffle(small_corpus):
     g_flat = _containment_discover_groups(signed, cfg, flat=True)
     g_ds = _containment_discover_groups(signed, cfg, flat=False)
     assert g_flat == g_ds and len(g_flat) > 0
+
+
+def test_distributed_estimate_matches_driver_path(small_corpus):
+    """Forcing the partitioned pairs × signatures hash join (threshold
+    0) must yield identical cluster assignments AND containment edges
+    to the driver-side broadcast estimate."""
+    import dataclasses
+
+    from cloud_dedup_ray.config import DedupConfig
+    from cloud_dedup_ray.pipelines.neardup import cluster_corpus
+    from cloud_dedup_ray.stages.project import project_corpus
+
+    corpus = (
+        project_corpus(ray.data.from_arrow(small_corpus), drop_content=False)
+        .filter(expr="is_symlink == False")
+        .materialize()
+    )
+    base = DedupConfig(bucket_pair_cap=32)
+    forced = dataclasses.replace(base, distributed_estimate_threshold=0)
+    r1 = cluster_corpus(corpus, base, with_containment=True)
+    r2 = cluster_corpus(corpus, forced, with_containment=True)
+    a1 = {r["doc_id"]: r["cluster_id"] for r in r1.assignments.take_all()}
+    a2 = {r["doc_id"]: r["cluster_id"] for r in r2.assignments.take_all()}
+    assert a1 == a2
+    assert r1.n_edges == r2.n_edges
+    assert r1.metrics["n_containment_edges"] == r2.metrics["n_containment_edges"]
