@@ -1034,7 +1034,19 @@ def cluster_corpus(
     ``doc_id:int64`` and ``content:string`` columns (symlink rows should
     be filtered out by the caller or carry empty content). Pass a
     pre-signed dataset (``signed``) to skip the signing stage — used by
-    :func:`cluster_corpus_resumable`."""
+    :func:`cluster_corpus_resumable`.
+
+    Scale boundary (documented, by design): signatures, band/bucket
+    rows, verification texts and the signature-estimate all stay in the
+    object store; what the driver holds is the CANDIDATE-PAIR id arrays
+    (16 bytes/pair, cap-bounded ≈ O(corpus) pairs) and the verified edge
+    list. Component resolution above
+    ``cfg.distributed_components_threshold`` edges runs as distributed
+    label propagation. Pushing the pair arrays themselves to a Dataset
+    would buy nothing here: every downstream consumer (union-find
+    pruning, containment pair dedup) needs the global pair set once,
+    and 10⁹ pairs ≈ 16 GB — a driver-RAM-bounded, not cluster-bounded,
+    term."""
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
     ckpt = None
