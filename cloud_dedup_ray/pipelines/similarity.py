@@ -78,6 +78,71 @@ def emb_knn_bruteforce(
     return allp.reset_index(drop=True)
 
 
+def emb_knn_batch(sf_dir: str, n_queries: int = 20, k: int = 5) -> pd.DataFrame:
+    """Batched exact kNN: top-k by cosine for EVERY query in a query set
+    (vec_id < n_queries) in ONE scan — the realistic production shape
+    (queries arrive in batches, not one at a time). The normalized query
+    matrix is broadcast once (``ray.put``); each data batch does a single
+    (batch × dim) @ (dim × n_queries) matmul, masks self-matches and
+    emits its per-query partial top-k; the driver merges
+    n_blocks × n_queries × k candidate rows (≪ corpus)."""
+    ds = _emb(sf_dir)
+    qids_l, qvecs_l = [], []
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        ids, m = _batch_matrix(t)
+        hit = ids < n_queries
+        if hit.any():
+            qids_l.append(ids[hit])
+            qvecs_l.append(m[hit])
+    qid = np.concatenate(qids_l)
+    order = np.argsort(qid)
+    qid = qid[order]
+    qm = _normalize_rows(np.concatenate(qvecs_l)[order])
+    q_ref = ray.put((qid, qm))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(q_ref)
+        ids, m = _batch_matrix(t)
+        sims = _normalize_rows(m) @ qm_.T  # (batch, n_queries)
+        pos = np.searchsorted(qids_, ids).clip(0, len(qids_) - 1)
+        self_rows = qids_[pos] == ids
+        sims[self_rows, pos[self_rows]] = -np.inf
+        kk = min(k, sims.shape[0])
+        out_q, out_id, out_sim = [], [], []
+        for j in range(len(qids_)):
+            col = sims[:, j]
+            top = (
+                np.argpartition(-col, kk - 1)[:kk]
+                if len(col) > kk
+                else np.arange(len(col))
+            )
+            out_q.append(np.full(len(top), qids_[j], np.int64))
+            out_id.append(ids[top])
+            out_sim.append(col[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            ds.map_batches(topk_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    df = parts.to_pandas()
+    df = df[np.isfinite(df["sim"])]
+    df = df.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+    df = df[df["rank"] <= k].copy()
+    df["cos_sim"] = df["sim"].round(4)
+    return df[["query_id", "vec_id", "cos_sim", "rank"]].reset_index(drop=True)
+
+
 class HyperplaneLSH:
     """Random-hyperplane signer: one seeded projection matrix per actor."""
 
