@@ -38,6 +38,29 @@ def token_count(texts: pa.Array) -> pa.Array:
     return pc.if_else(blank, pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer (ASCII classes so the Python `re` count and
+# the DuckDB RE2 twin match token-for-token): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. Whitespace
+# itself is not a token.
+_BPE_PRETOKEN = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+)
+
+
+def token_count_bpe(texts: pa.Array) -> pa.Array:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (the standard proxy for LLM token budgets when the real BPE
+    merges aren't needed). SQL twin:
+    ``len(regexp_extract_all(text, <same pattern>))``."""
+    return pa.array(
+        [
+            len(_BPE_PRETOKEN.findall(t)) if t else 0
+            for t in texts.to_pylist()
+        ],
+        pa.int64(),
+    )
+
+
 def char_ngrams(text: str, n: int) -> set[str]:
     if len(text) < n:
         return {text} if text else set()

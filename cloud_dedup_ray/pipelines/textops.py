@@ -106,6 +106,22 @@ def docs_token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    """LLM token-budget proxy: GPT-2-style pre-tokenizer regex count per
+    doc (see ``functions.text.token_count_bpe``) — stateless vectorized
+    map, pruned read."""
+    from cloud_dedup_ray.functions.text import token_count_bpe
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_bpe_tokens": token_count_bpe(t["text"])}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
     """md5 fingerprint of whitespace-normalized lowercase text (an exact
     SQL twin exists); the rolling-hash winnowing fingerprint rides along
