@@ -140,15 +140,26 @@ def main(argv: list[str] | None = None) -> int:
         output_path = str(Path.cwd() / auto_name)
 
     if args.near_dup:
-        from cloud_dedup_ray.pipelines.neardup import cluster_corpus
+        from cloud_dedup_ray.pipelines.neardup import (
+            cluster_corpus,
+            cluster_corpus_resumable,
+        )
         from cloud_dedup_ray.stages.project import project_corpus
 
-        nd_input = (
-            project_corpus(corpus, skip_hidden=cfg.skip_hidden, drop_content=False)
-            .filter(expr="is_symlink == False")
-            .materialize()
-        )
-        nd = cluster_corpus(nd_input, cfg)
+        if args.corpus and cfg.checkpoint_dir:
+            # corpus mode + checkpoints → per-shard-file lineage: a
+            # killed run resumes, and a GROWN corpus (new shard files
+            # appended) re-signs only the new files (incremental ingest)
+            nd = cluster_corpus_resumable(args.corpus, cfg, partition_by="file")
+        else:
+            nd_input = (
+                project_corpus(
+                    corpus, skip_hidden=cfg.skip_hidden, drop_content=False
+                )
+                .filter(expr="is_symlink == False")
+                .materialize()
+            )
+            nd = cluster_corpus(nd_input, cfg)
         stem = os.path.splitext(output_path)[0]
         nd.assignments.write_parquet(stem + "_clusters")
         result["neardup"] = nd.metrics

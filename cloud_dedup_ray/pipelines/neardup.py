@@ -952,6 +952,7 @@ def cluster_corpus_resumable(
     cfg: DedupConfig,
     num_partitions: int = 8,
     with_containment: bool = True,
+    partition_by: str = "chunks",
 ) -> NearDupResult:
     """Near-dup clustering with PER-PARTITION signature checkpoints
     (north rule): the corpus' parquet files are split into
@@ -959,6 +960,15 @@ def cluster_corpus_resumable(
     independently (``sig_part_NNNN/_lineage.json``), so a killed run
     resumes by re-signing only incomplete partitions. Per-partition
     rows/sec metrics are recorded in ``metrics["partitions"]``.
+
+    ``partition_by="chunks"`` (default) slices the sorted file list into
+    ``num_partitions`` groups; any file-set change shifts the mapping
+    and invalidates every partition (safe, non-incremental).
+    ``partition_by="file"`` checkpoints PER SHARD FILE with a stage name
+    derived from the file name and a scope from its (size, mtime) — the
+    incremental-ingest mode: appending new shard files to the corpus
+    re-signs only the new files; modified files invalidate only
+    themselves. ``num_partitions`` is ignored in file mode.
     """
     import glob as _glob
 
@@ -969,55 +979,93 @@ def cluster_corpus_resumable(
     assert cfg.checkpoint_dir, "cluster_corpus_resumable requires checkpoint_dir"
     ckpt = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
     files = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))
-    n_parts = max(1, min(num_partitions, len(files)))
-    groups = [list(g) for g in np.array_split(np.asarray(files), n_parts)]
+    if partition_by == "file":
+        n_parts = len(files)
+        groups = [[f] for f in files]
+    else:
+        n_parts = max(1, min(num_partitions, len(files)))
+        groups = [list(g) for g in np.array_split(np.asarray(files), n_parts)]
 
     def _prep(paths: list[str]) -> ray.data.Dataset:
         return (
-            project_corpus(read_corpus(paths), drop_content=False)
+            project_corpus(
+                read_corpus(paths),
+                skip_hidden=cfg.skip_hidden,
+                drop_content=False,
+            )
             .filter(expr="is_symlink == False")
         )
 
-    parts: list[ray.data.Dataset] = []
-    resumed: list[str] = []
-    part_metrics: list[dict] = []
-    for i, g in enumerate(groups):
-        stage = f"sig_part_{i:04d}"
-        # Scope ties the checkpoint to this partition's exact file slice:
-        # adding/removing corpus files or changing num_partitions shifts
-        # the file→partition mapping and must invalidate stale parts.
-        scope = hashlib.sha256(
-            json.dumps({"n_parts": n_parts, "files": g}).encode()
-        ).hexdigest()[:16]
+    def _sign_partition(i: int, g: list[str]):
+        if partition_by == "file":
+            # file-stable identity: the stage name depends only on the
+            # shard file name, the scope on its (size, mtime) — appended
+            # corpus files leave existing checkpoints valid (incremental
+            # ingest), a rewritten file invalidates only itself.
+            base = os.path.basename(g[0])
+            st = os.stat(g[0])
+            stage = "sig_file_" + hashlib.sha256(base.encode()).hexdigest()[:12]
+            scope = hashlib.sha256(
+                json.dumps(
+                    {"file": base, "size": st.st_size, "mtime": st.st_mtime}
+                ).encode()
+            ).hexdigest()[:16]
+        else:
+            stage = f"sig_part_{i:04d}"
+            # Scope ties the checkpoint to this partition's exact file
+            # slice: adding/removing corpus files or changing
+            # num_partitions shifts the file→partition mapping and must
+            # invalidate stale parts.
+            scope = hashlib.sha256(
+                json.dumps({"n_parts": n_parts, "files": g}).encode()
+            ).hexdigest()[:16]
         tp = time.perf_counter()
         ds_part, was = ckpt.run(
-            stage, lambda g=g: sign_dataset(_prep(g), cfg), scope=scope
+            stage, lambda: sign_dataset(_prep(g), cfg), scope=scope
         )
         n_rows = ds_part.count()
         dt = time.perf_counter() - tp
-        part_metrics.append(
-            {
-                "partition": i,
-                "n_files": len(g),
-                "n_rows": n_rows,
-                "sec": round(dt, 3),
-                "rows_per_sec": round(n_rows / dt, 1) if dt > 0 else None,
-                "resumed": was,
-            }
-        )
-        if was:
-            resumed.append(stage)
-        parts.append(ds_part)
+        metric = {
+            "partition": i,
+            "n_files": len(g),
+            "n_rows": n_rows,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_rows / dt, 1) if dt > 0 else None,
+            "resumed": was,
+        }
+        return ds_part, was, stage, metric
+
+    # partitions sign CONCURRENTLY (bounded driver threads, one Dataset
+    # job each — Ray shares the CPU pool): per-file mode over a
+    # many-shard corpus would otherwise serialize n_files job launches
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, n_parts)) as pool:
+        results = list(pool.map(lambda ig: _sign_partition(*ig), enumerate(groups)))
+    parts = [r[0] for r in results]
+    resumed: list[str] = [r[2] for r in results if r[1]]
+    part_metrics: list[dict] = [r[3] for r in results]
     signed = parts[0]
     for p in parts[1:]:
         signed = signed.union(p)
     corpus = _prep(files).materialize()
+    # identity of the WHOLE input: scopes the downstream (bucket) stage
+    # checkpoints so a grown/changed corpus never reuses them
+    corpus_scope = hashlib.sha256(
+        json.dumps(
+            [
+                (os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime)
+                for f in files
+            ]
+        ).encode()
+    ).hexdigest()[:16]
     res = cluster_corpus(
         corpus,
         cfg,
         with_containment=with_containment,
         signed=signed.materialize(),
         resumed_stages=resumed,
+        input_scope=corpus_scope,
     )
     res.metrics["partitions"] = part_metrics
     return res
@@ -1029,6 +1077,7 @@ def cluster_corpus(
     with_containment: bool = True,
     signed: ray.data.Dataset | None = None,
     resumed_stages: list[str] | None = None,
+    input_scope: str = "",
 ) -> NearDupResult:
     """Full near-dup clustering over a corpus Dataset that has
     ``doc_id:int64`` and ``content:string`` columns (symlink rows should
@@ -1062,7 +1111,7 @@ def cluster_corpus(
     if signed is not None:
         pass
     elif ckpt:
-        signed, was = ckpt.run("signatures", _build_signed)
+        signed, was = ckpt.run("signatures", _build_signed, scope=input_scope)
         signed = signed.materialize()
         if was:
             resumed.append("signatures")
@@ -1100,7 +1149,11 @@ def cluster_corpus(
     if use_flat:
         pass
     elif ckpt:
-        pair_rows, was = ckpt.run("lsh_buckets", _build_pairs)
+        # Scope the bucket checkpoint to the INPUT identity: without it
+        # a grown/changed corpus would silently reuse the previous
+        # corpus' bucket stage (stale-candidate bug — same class as the
+        # per-partition signature scopes above).
+        pair_rows, was = ckpt.run("lsh_buckets", _build_pairs, scope=input_scope)
         if was:
             resumed.append("lsh_buckets")
     else:

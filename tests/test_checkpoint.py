@@ -152,3 +152,53 @@ def test_partition_checkpoints_invalidated_by_file_set_change(tmp_path):
     r3 = cluster_corpus_resumable(cdir, cfg, num_partitions=2,
                                   with_containment=False)
     assert [p["resumed"] for p in r3.metrics["partitions"]] == [False, False]
+
+
+def test_file_mode_incremental_append(tmp_path, monkeypatch):
+    """partition_by='file': appending new shard files to the corpus
+    re-signs ONLY the new files (existing per-file checkpoints stay
+    valid), and the incremental result equals a from-scratch run over
+    the full corpus."""
+    import glob
+    import shutil
+
+    from cloud_dedup_ray.datagen import write_corpus
+    from cloud_dedup_ray.pipelines.neardup import cluster_corpus_resumable
+
+    base = write_corpus(str(tmp_path / "base"), seed=11, n_files=80,
+                        n_repos=2, n_shards=4)
+    extra = write_corpus(str(tmp_path / "extra"), seed=23, n_files=40,
+                         n_repos=2, n_shards=2)
+    # corpus v1 = the 4 base shards
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    for f in sorted(glob.glob(os.path.join(base, "*.parquet"))):
+        shutil.copy(f, cdir / os.path.basename(f))
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    r1 = cluster_corpus_resumable(str(cdir), cfg, with_containment=False,
+                                  partition_by="file")
+    assert [p["resumed"] for p in r1.metrics["partitions"]] == [False] * 4
+
+    # corpus v2 = v1 + 2 appended shards (distinct names)
+    for f in sorted(glob.glob(os.path.join(extra, "*.parquet"))):
+        shutil.copy(f, cdir / ("extra-" + os.path.basename(f)))
+
+    calls = []
+    orig = neardup.sign_dataset
+
+    def counting_sign(corpus, cfg_):
+        calls.append(1)
+        return orig(corpus, cfg_)
+
+    monkeypatch.setattr(neardup, "sign_dataset", counting_sign)
+    r2 = cluster_corpus_resumable(str(cdir), cfg, with_containment=False,
+                                  partition_by="file")
+    assert len(calls) == 2  # only the two appended shards signed
+    assert sorted(p["resumed"] for p in r2.metrics["partitions"]) == [
+        False, False, True, True, True, True,
+    ]
+
+    fresh = DedupConfig(checkpoint_dir=str(tmp_path / "ck_fresh"))
+    r3 = cluster_corpus_resumable(str(cdir), fresh, with_containment=False,
+                                  partition_by="file")
+    assert _assign(r2) == _assign(r3)
