@@ -122,6 +122,24 @@ def docs_token_count_bpe(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based train/val/test assignment — the
+    standard leakage-safe split for training corpora (stable across
+    runs and cluster sizes, no shuffle, no state): bucket on the first
+    hex digit of md5(doc_id) → 12/16 train, 2/16 val, 2/16 test.
+    Stateless vectorized map; SQL twin uses the same md5 text form."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        as_str = pc.cast(t["doc_id"], pa.string())
+        first = np.asarray(pc.utf8_slice_codeunits(md5_hex(as_str), 0, 1))
+        split = np.where(first < "c", "train", np.where(first < "e", "val", "test"))
+        return pa.table({"doc_id": t["doc_id"], "split": pa.array(split)})
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
     """md5 fingerprint of whitespace-normalized lowercase text (an exact
     SQL twin exists); the rolling-hash winnowing fingerprint rides along
