@@ -70,15 +70,9 @@ def run_bench() -> dict:
     read_corpus(corpus_dir).count()
 
     queries: dict[str, float] = {}
-    # Size the signer pool to the batch count, not just the CPU count:
-    # on this host every fresh actor process pays ~0.5-1 s of first-touch
-    # page faults, so 16 actors × 3 batches each is slower than 8 × 7.
-    n_files = int(os.environ.get("GRAFT_BENCH_N", "0")) or {
-        0.001: 600, 0.01: 2000, 0.1: 20000
-    }.get(sf, 2000)
-    n_batches = max(1, (n_files * 10 // 7) // 2048)  # rows ≈ 1.43 × files
-    max_signers = max(2, min(num_cpus // 2, n_batches // 4 or 1))
-    cfg = DedupConfig(signer_concurrency=(2, max_signers))
+    # default config: signer_mode='task' caches signer state per worker
+    # process, so no actor-pool sizing is needed here
+    cfg = DedupConfig()
 
     # --- headline: end-to-end two-tier dedup over the code corpus.
     # The two tiers are independent jobs; they run OVERLAPPED (two

@@ -42,7 +42,7 @@ class Rec:
         content_hash, mtime). Plain min-by-path is ambiguous when one
         repo stores several commits of the same path — the winner would
         depend on block arrival order."""
-        return (self.path, self.commit, self.content_hash or "", self.mtime)
+        return (self.path, self.commit or "", self.content_hash or "", self.mtime)
 
 
 def classify_pair(

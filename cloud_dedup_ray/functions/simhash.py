@@ -24,28 +24,12 @@ def token_hash64(feature: str) -> int:
     return int.from_bytes(hashlib.md5(feature.encode()).digest()[:8], "little")
 
 
-class _Md5TokenCache:
-    """Memoized :func:`token_hash64` over a token list (SimHash's
-    vocabulary repeats heavily, same rationale as text.TokenHashCache)."""
+def _md5_token_cache():
+    """text.TokenHashCache parameterized with SimHash's md5-based
+    :func:`token_hash64` (shared memo/bounding implementation)."""
+    from cloud_dedup_ray.functions.text import TokenHashCache
 
-    __slots__ = ("cache", "max_entries")
-
-    def __init__(self, max_entries: int = 1 << 20) -> None:
-        self.cache: dict[str, int] = {}
-        self.max_entries = max_entries
-
-    def hash_tokens(self, toks: list[str]) -> np.ndarray:
-        c = self.cache
-        if len(c) > self.max_entries:
-            c.clear()
-        out = np.empty(len(toks), np.uint64)
-        for i, t in enumerate(toks):
-            h = c.get(t)
-            if h is None:
-                h = token_hash64(t)
-                c[t] = h
-            out[i] = h
-        return out
+    return TokenHashCache(hash_fn=token_hash64)
 
 
 def simhash64(features: list[str], weights: list[int] | None = None) -> int:
@@ -70,7 +54,7 @@ def simhash_tokens_batch(texts: list[str | None], cache=None) -> np.ndarray:
     from a memoized md5 cache (:func:`token_hash64`), the ±1 bit votes
     are one (n_tokens, 64) numpy reduction per doc. Matches
     :func:`simhash_tokens` bit-for-bit (verified in tests)."""
-    cache = cache or _Md5TokenCache()
+    cache = cache or _md5_token_cache()
     out = np.zeros(len(texts), np.uint64)
     for i, t in enumerate(texts):
         if not t:

@@ -41,9 +41,12 @@ def token_count(texts: pa.Array) -> pa.Array:
 # GPT-2-style pre-tokenizer (ASCII classes so the Python `re` count and
 # the DuckDB RE2 twin match token-for-token): contraction suffixes,
 # space-prefixed letter runs, digit runs, punctuation runs. Whitespace
-# itself is not a token.
+# itself is not a token. re.ASCII pins \s to ASCII whitespace — RE2's
+# \s is ASCII-only, and without the flag Python treats NBSP/\x0b as
+# whitespace while RE2 counts them as punctuation (off-by-one tokens).
 _BPE_PRETOKEN = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+",
+    re.ASCII,
 )
 
 
@@ -98,32 +101,40 @@ def char_ngrams_hashed(text: str, n: int) -> np.ndarray:
 _SHINGLE_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
 
+def _blake2b64(t: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+    )
+
+
 class TokenHashCache:
     """Memoized 64-bit token hashes. Source-code/text vocabularies repeat
     heavily, so caching turns per-shingle string hashing into dict hits;
     the k-shingle hash is then a vectorized rolling polynomial over the
-    token-hash array (position-sensitive, mod 2^64)."""
+    token-hash array (position-sensitive, mod 2^64). ``hash_fn`` picks
+    the token hash (blake2b default; SimHash passes its md5-based
+    ``token_hash64`` — same memo/bounding behavior, one implementation)."""
 
-    __slots__ = ("cache", "max_entries")
+    __slots__ = ("cache", "max_entries", "hash_fn")
 
-    def __init__(self, max_entries: int = 1 << 20) -> None:
+    def __init__(self, max_entries: int = 1 << 20, hash_fn=_blake2b64) -> None:
         # Bounded so a cache living in a long-lived (reused) Ray task
         # worker can't grow with the corpus vocabulary forever; a full
         # reset is cheap and correctness-neutral (pure memoization).
         self.cache: dict[str, int] = {}
         self.max_entries = max_entries
+        self.hash_fn = hash_fn
 
     def hash_tokens(self, toks: list[str]) -> np.ndarray:
         c = self.cache
         if len(c) > self.max_entries:
             c.clear()
+        fn = self.hash_fn
         out = np.empty(len(toks), np.uint64)
         for i, t in enumerate(toks):
             h = c.get(t)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                )
+                h = fn(t)
                 c[t] = h
             out[i] = h
         return out

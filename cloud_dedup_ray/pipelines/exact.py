@@ -97,11 +97,15 @@ def _reps_per_key(df, key_cols: list[str]):
 
     Returns the reduced frame sorted by (key, repo): one row per
     (key, repo), group rows contiguous and labels already in sorted
-    order. ``content_sha256`` comes back ''-filled — ``Rec.rep_key``
-    maps a missing hash to '' which sorts FIRST, so filling before the
-    sort keeps pipeline and oracle picking the same representative when
-    rows tie on (path, commit) with mixed hash availability."""
-    df = df.assign(content_sha256=df["content_sha256"].fillna(""))
+    order. ``content_sha256`` and ``commit`` come back ''-filled —
+    ``Rec.rep_key`` (and the SQL oracle's ``coalesce``) map a missing
+    value to '' which sorts FIRST, while pandas sorts NaN LAST, so
+    filling before the sort keeps pipeline and oracle picking the same
+    representative when rows tie with mixed availability."""
+    df = df.assign(
+        content_sha256=df["content_sha256"].fillna(""),
+        commit=df["commit"].fillna(""),
+    )
     df = df.sort_values(
         key_cols + ["repo", "path", "commit", "content_sha256", "mtime"],
         kind="stable",

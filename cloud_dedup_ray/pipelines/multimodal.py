@@ -23,6 +23,27 @@ import ray.data
 _MAGIC = b"FIMG"
 
 
+def _select_codec(module: str, attr: str | None, codec, allow_stub: bool,
+                  what: str):
+    """Shared once-per-actor codec selection: an injected ``codec`` wins
+    (tests), else import ``module`` (and take ``attr`` off it) if the
+    container ships it, else None — and with ``allow_stub=False`` a
+    missing codec fails LOUDLY instead of silently faking features."""
+    if codec is not None:
+        return codec
+    try:
+        mod = __import__(module, fromlist=[attr] if attr else [])
+        chosen = getattr(mod, attr) if attr else mod
+    except ImportError:
+        chosen = None
+    if not allow_stub and chosen is None:
+        raise NotImplementedError(
+            f"real {what} requires {module}, not present in this "
+            f"environment, and allow_stub=False forbids the stub path"
+        )
+    return chosen
+
+
 def encode_fake_image(seed_text: str) -> bytes:
     """Deterministic fake image payload derived from a text seed —
     stands in for real image bytes in tests/benchmarks."""
@@ -64,21 +85,8 @@ class ImageDecoder:
     ships no image library)."""
 
     def __init__(self, allow_stub: bool = True, codec=None):
-        if codec is not None:
-            self.codec = codec
-        else:
-            try:
-                from PIL import Image  # guarded: not in this container
-
-                self.codec = Image
-            except ImportError:
-                self.codec = None
-        if not allow_stub and self.codec is None:
-            raise NotImplementedError(
-                "real image decoding requires PIL/opencv, not present in "
-                "this environment, and allow_stub=False forbids the FIMG "
-                "stub decoder"
-            )
+        self.codec = _select_codec("PIL", "Image", codec, allow_stub,
+                                   "image decoding")
 
     def _decode_codec(self, buf: bytes) -> tuple[int, int, int, float]:
         import io
@@ -152,20 +160,8 @@ class ImageResizer:
     def __init__(self, width: int = 32, height: int = 32,
                  allow_stub: bool = True, codec=None):
         self.width, self.height = int(width), int(height)
-        if codec is not None:
-            self.codec = codec
-        else:
-            try:
-                from PIL import Image  # guarded: not in this container
-
-                self.codec = Image
-            except ImportError:
-                self.codec = None
-        if not allow_stub and self.codec is None:
-            raise NotImplementedError(
-                "real image resizing requires PIL, not present in this "
-                "environment, and allow_stub=False forbids the FIMG path"
-            )
+        self.codec = _select_codec("PIL", "Image", codec, allow_stub,
+                                   "image resizing")
 
     def _resize_fimg(self, buf: bytes) -> bytes:
         arr = _parse_fimg(buf)
@@ -276,21 +272,8 @@ class AudioFeatures:
     vectorized numpy over the int16 buffer."""
 
     def __init__(self, allow_stub: bool = True, codec=None):
-        if codec is not None:
-            self.codec = codec
-        else:
-            try:
-                import soundfile  # guarded: not in this container
-
-                self.codec = soundfile
-            except ImportError:
-                self.codec = None
-        if not allow_stub and self.codec is None:
-            raise NotImplementedError(
-                "real audio decoding requires soundfile/librosa, not "
-                "present in this environment, and allow_stub=False "
-                "forbids the FAUD path"
-            )
+        self.codec = _select_codec("soundfile", None, codec, allow_stub,
+                                   "audio decoding")
 
     @staticmethod
     def _features(x: np.ndarray, sr: int) -> tuple:
@@ -315,7 +298,15 @@ class AudioFeatures:
                 import io
 
                 data, sr = self.codec.read(io.BytesIO(buf), dtype="int16")
-                x = np.asarray(data).reshape(-1)
+                data = np.asarray(data)
+                # multichannel → mono mixdown: a flat reshape would
+                # double duration per extra channel and compute the
+                # zero-cross rate over interleaved L/R samples
+                x = (
+                    data.mean(axis=1).astype(np.int16)
+                    if data.ndim > 1
+                    else data
+                )
             else:
                 raise NotImplementedError(
                     "payload is not FAUD and no audio codec is available"

@@ -60,13 +60,10 @@ def _split_by_partition(
     part: np.ndarray, num_partitions: int, *cols: np.ndarray
 ) -> list[tuple[np.ndarray, ...]]:
     """Map-side split for a flat exchange: stable-sort rows by partition
-    id and slice each column into ``num_partitions`` contiguous views."""
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
-    return [
-        tuple(c[order[lo:hi]] for c in cols)
-        for lo, hi in zip(bounds[:-1], bounds[1:])
-    ]
+    id and slice each column into ``num_partitions`` contiguous views.
+    (Thin wrapper over the shared ``_split_with_indices`` kernel.)"""
+    _, idx_parts = _split_with_indices(part, num_partitions, part)
+    return [tuple(c[sel] for c in cols) for sel in idx_parts]
 
 
 def _collect_edges_flat(
@@ -292,8 +289,13 @@ def _estimate_pairs_distributed(
         return out
 
     def _sig_consolidate(*parts):
-        ids = np.concatenate([p[0] for p in parts])
-        sigs = np.concatenate([p[1] for p in parts])
+        # drop zero-row parts: empty/schema-less blocks emit a (0, 1)
+        # placeholder whose width must not join the concatenate
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return np.empty(0, np.int64), np.empty((0, 1), np.uint64)
+        ids = np.concatenate([p[0] for p in live])
+        sigs = np.concatenate([p[1] for p in live])
         order = np.argsort(ids)
         return ids[order], np.take(sigs, order, axis=0)
 
@@ -1071,6 +1073,44 @@ def cluster_corpus_resumable(
     return res
 
 
+def _corpus_identity_scope(corpus: ray.data.Dataset) -> str:
+    """Order-independent identity of a corpus Dataset for checkpoint
+    scoping: row count + wrap-around sums of doc_id and (when present)
+    mtime and the leading 8 bytes of content_sha256, folded per batch so
+    only a few ints reach the driver. Any row added/removed/edited
+    (with checksums on) or touched (mtime) changes the scope."""
+    names = corpus.schema().names
+    cols = ["doc_id"] + [c for c in ("mtime", "content_sha256") if c in names]
+
+    M63 = (1 << 63) - 1  # keep every accumulator inside Arrow int64
+
+    def fold(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64).view(np.uint64)
+        acc = {
+            "n": [t.num_rows],
+            "idsum": [int(ids.sum(dtype=np.uint64)) & M63],
+        }
+        if "mtime" in t.schema.names:
+            mt = np.asarray(t["mtime"], np.float64)
+            acc["mtsum"] = [int(np.nan_to_num(mt).sum()) & M63]
+        if "content_sha256" in t.schema.names:
+            sha = t["content_sha256"].to_pylist()
+            acc["shasum"] = [sum(int(s[:16], 16) for s in sha if s) & M63]
+        return pa.table(acc)
+
+    totals: dict[str, int] = {}
+    for bt in corpus.select_columns(cols).map_batches(
+        fold, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        # iter_batches may coalesce several fold outputs into one
+        # multi-row batch — fold over EVERY row, not just the first
+        for c in bt.schema.names:
+            totals[c] = (totals.get(c, 0) + sum(bt[c].to_pylist())) & M63
+    return hashlib.sha256(
+        json.dumps(totals, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
 def cluster_corpus(
     corpus: ray.data.Dataset,
     cfg: DedupConfig | None = None,
@@ -1104,6 +1144,12 @@ def cluster_corpus(
         from cloud_dedup_ray.state.checkpoint import StageCheckpoint
 
         ckpt = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
+        if not input_scope:
+            # No caller-provided identity (direct call, e.g. CLI
+            # directory mode): derive one from the corpus itself so a
+            # re-run over CHANGED input never reuses stale signature /
+            # bucket checkpoints (scope "" would always match).
+            input_scope = _corpus_identity_scope(corpus)
 
     def _build_signed() -> ray.data.Dataset:
         return sign_dataset(corpus, cfg)

@@ -111,8 +111,11 @@ def emb_knn_batch(sf_dir: str, n_queries: int = 20, k: int = 5) -> pd.DataFrame:
         out_q, out_id, out_sim = [], [], []
         for j in range(len(qids_)):
             col = sims[:, j]
+            # tie-break by vec_id ASC inside the batch (argpartition has
+            # no ordering guarantee among equal sims and could drop the
+            # row the oracle's 'cos_sim DESC, vec_id' ranking keeps)
             top = (
-                np.argpartition(-col, kk - 1)[:kk]
+                np.lexsort((ids, -col))[:kk]
                 if len(col) > kk
                 else np.arange(len(col))
             )

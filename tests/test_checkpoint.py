@@ -202,3 +202,39 @@ def test_file_mode_incremental_append(tmp_path, monkeypatch):
     r3 = cluster_corpus_resumable(str(cdir), fresh, with_containment=False,
                                   partition_by="file")
     assert _assign(r2) == _assign(r3)
+
+
+def test_direct_checkpoint_invalidated_by_input_change(corpus, tmp_path, monkeypatch):
+    """Direct cluster_corpus with a checkpoint_dir derives an input
+    scope from the corpus content, so a CHANGED corpus re-signs instead
+    of silently reusing the previous corpus' signatures/buckets."""
+    import pyarrow as pa
+
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    cluster_corpus(corpus, cfg, with_containment=False)
+
+    # same corpus → both stage checkpoints reused
+    calls = []
+    orig = neardup.sign_dataset
+
+    def counting_sign(c, cfg_):
+        calls.append(1)
+        return orig(c, cfg_)
+
+    monkeypatch.setattr(neardup, "sign_dataset", counting_sign)
+    cluster_corpus(corpus, cfg, with_containment=False)
+    assert calls == []
+
+    # modified corpus (one row's content edited) → invalidated, re-signed
+    tbl = pa.concat_tables(
+        [b for b in corpus.iter_batches(batch_format="pyarrow")]
+    ).to_pandas()
+    tbl.loc[tbl.index[0], "content"] = "entirely new content for this row"
+    import hashlib as _h
+
+    tbl.loc[tbl.index[0], "content_sha256"] = _h.sha256(
+        tbl.loc[tbl.index[0], "content"].encode()
+    ).hexdigest()
+    changed = ray.data.from_pandas(tbl).materialize()
+    cluster_corpus(changed, cfg, with_containment=False)
+    assert calls == [1]
