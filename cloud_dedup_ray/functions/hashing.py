@@ -59,3 +59,16 @@ def stable_id64(
         h = hashlib.sha1(key.encode()).digest()
         out[i] = int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
     return pa.array(out, pa.int64())
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 (public-domain mixing constants) — THE
+    canonical integer mixer for partition keys, bucket keys and OPH bin
+    assignment (stages/coarse and functions/minhash import this one;
+    text.char_ngrams_hashed deliberately applies only the add-free
+    finalizer over its polynomial values). Input is treated as uint64;
+    changing these constants changes every hash-partitioned artifact."""
+    x = x.astype(np.uint64, copy=True) + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))

@@ -189,12 +189,8 @@ def make_hasher(scheme: str, num_perm: int, seed: int):
     raise ValueError(f"unknown minhash scheme: {scheme}")
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+# canonical splitmix64 (functions/hashing); alias keeps call sites short
+from cloud_dedup_ray.functions.hashing import splitmix64 as _splitmix64  # noqa: E402
 
 
 def band_hashes(sigs: np.ndarray, num_bands: int) -> np.ndarray:

@@ -394,14 +394,38 @@ class ExactResult:
         }
 
 
+def _folder_name_partials(table: pa.Table) -> pa.Table:
+    """Per-batch combiner for folder analytics: distinct sorted file
+    names per (repo, folder) — shared by the driver-merge path in
+    ``analyze_corpus`` and the distributed reduce in
+    ``folder_comparison_rows_distributed``."""
+    df = table.select(["repo", "folder", "name"]).to_pandas()
+    g = (
+        df.groupby(["repo", "folder"], sort=False)["name"]
+        .agg(lambda s: sorted(set(s)))
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "repo": pa.array(g["repo"], pa.string()),
+            "folder": pa.array(g["folder"], pa.string()),
+            "names": pa.array(list(g["name"]), pa.list_(pa.string())),
+        }
+    )
+
+
+_folder_name_partials.__name__ = "folder_partials"
+
+
 def folder_comparison_rows_distributed(
     projected: ray.data.Dataset, num_parts: int = 32
 ) -> list[dict]:
     """Distributed folder analytics (the scale path for F1–F6): the
     driver never holds the global (repo, folder) → name-set map.
 
-    1. per-batch distinct-name partials → ``groupby(repo, folder)``
-       reduce — one row per (repo, folder) with its direct names;
+    1. per-batch distinct-name partials → coarse hash partition on
+       (repo, folder) → per-partition vectorized merge — one row per
+       (repo, folder) with its direct names;
     2. ancestor-presence explode (one marker row per ancestor, names
        shipped only for the direct row);
     3. coarse hash partition on the folder → per-folder comparison
@@ -419,27 +443,25 @@ def folder_comparison_rows_distributed(
     from cloud_dedup_ray.functions.folders import compare_one_folder
     from cloud_dedup_ray.functions.pathutils import ancestors
 
-    def _partials(table: pa.Table) -> pa.Table:
-        df = table.select(["repo", "folder", "name"]).to_pandas()
+    def _add_kpart(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{r}\0{f}"
+            for r, f in zip(t["repo"].to_pylist(), t["folder"].to_pylist())
+        ]
+        part = coarse.str_partition(keys, num_parts)
+        return t.append_column("__kpart", pa.array(part))
+
+    def _merge_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        # merge ALL (repo, folder) groups of one hash partition in a
+        # single pandas pass — a Ray map_groups per (repo, folder) key
+        # would pay per-tiny-group scheduling + Arrow overhead (the
+        # coarse-partition pattern, see stages/coarse.py)
         g = (
-            df.groupby(["repo", "folder"], sort=False)["name"]
-            .agg(lambda s: sorted(set(s)))
+            df.groupby(["repo", "folder"], sort=False)["names"]
+            .agg(lambda lists: sorted(set().union(*lists)))
             .reset_index()
         )
-        return pa.table(
-            {
-                "repo": pa.array(g["repo"], pa.string()),
-                "folder": pa.array(g["folder"], pa.string()),
-                "names": pa.array(list(g["name"]), pa.list_(pa.string())),
-            }
-        )
-
-    def _merge_sets(df: "pd.DataFrame") -> "pd.DataFrame":
-        names = sorted(set().union(*df["names"]))
-        return pd.DataFrame(
-            {"repo": [df["repo"].iloc[0]], "folder": [df["folder"].iloc[0]],
-             "names": [names]}
-        )
+        return g[["repo", "folder", "names"]]
 
     def _explode(t: pa.Table) -> pa.Table:
         tgt: list[str] = []
@@ -496,9 +518,10 @@ def folder_comparison_rows_distributed(
     _compare.__name__ = "folder_compare"
     rows = (
         projected.select_columns(["repo", "folder", "name"])
-        .map_batches(_partials, batch_format="pyarrow")
-        .groupby(["repo", "folder"])
-        .map_groups(_merge_sets, batch_format="pandas")
+        .map_batches(_folder_name_partials, batch_format="pyarrow")
+        .map_batches(_add_kpart, batch_format="pyarrow")
+        .groupby("__kpart")
+        .map_groups(_merge_partition, batch_format="pandas")
         .map_batches(_explode, batch_format="pyarrow")
         .map_batches(_add_part, batch_format="pyarrow")
         .groupby("__part")
@@ -567,6 +590,9 @@ def analyze_corpus(
     for part in scan_blocks(projected, _sym_block):
         symlink_paths.update(part)
     sym_paths_ref = ray.put(symlink_paths)
+    # Arrow-array form for the vectorized pc.is_in filter in the fused
+    # map (ray.get of the same ref is plasma-cached per worker)
+    sym_arr_ref = ray.put(pa.array(sorted(symlink_paths)))
     t_sym = time.perf_counter()
 
     # ---- FUSED classify + mixed-type shuffle: one groupby job carries
@@ -583,11 +609,10 @@ def analyze_corpus(
             t["name"].to_pylist(), np.asarray(t["size"], np.int64), num_parts
         )
         t1 = t.append_column("__part", pa.array(part))
-        sympaths = ray.get(sym_paths_ref)
-        if not sympaths:
+        sym_arr = ray.get(sym_arr_ref)
+        if len(sym_arr) == 0:
             return t1
-        pls = t["path_lower"].to_pylist()
-        keep = pa.array([p in sympaths for p in pls])
+        keep = pc.is_in(t["path_lower"], value_set=sym_arr)
         t2 = t.filter(keep)
         part2 = coarse.str_partition(t2["path_lower"].to_pylist(), num_parts)
         t2 = t2.append_column(
@@ -635,27 +660,10 @@ def analyze_corpus(
     # folder name-set combiner (F1): per-batch partials, merged on the
     # driver — no shuffle. At folder counts too large for one driver the
     # same partials feed a groupby(repo, folder) reduce instead.
-    def _folder_partials(table: pa.Table) -> pa.Table:
-        df = table.select(["repo", "folder", "name"]).to_pandas()
-        g = (
-            df.groupby(["repo", "folder"], sort=False)["name"]
-            .agg(lambda s: sorted(set(s)))
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "repo": pa.array(g["repo"], pa.string()),
-                "folder": pa.array(g["folder"], pa.string()),
-                "names": pa.array(list(g["name"]), pa.list_(pa.string())),
-            }
-        )
-
-    _folder_partials.__name__ = "folder_partials"
-
     def _run_folder_partials() -> dict[str, dict[str, set[str]]]:
         sets: dict[str, dict[str, set[str]]] = {}
         for bt in projected.map_batches(
-            _folder_partials, batch_format="pyarrow"
+            _folder_name_partials, batch_format="pyarrow"
         ).iter_batches(batch_format="pyarrow"):
             for r, f, names in zip(
                 bt["repo"].to_pylist(),

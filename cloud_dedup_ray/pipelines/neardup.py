@@ -237,13 +237,23 @@ def _estimate_pair_jaccard(
     takes a slow element-wise path (~30× slower than take on this
     workload), and chunking bounds the (pairs × num_perm) temporaries."""
     est = np.empty(len(a), np.float64)
-    idx_a = np.searchsorted(all_ids, a)
-    idx_b = np.searchsorted(all_ids, b)
+    hi = max(len(all_ids) - 1, 0)
+    idx_a = np.searchsorted(all_ids, a).clip(0, hi)
+    idx_b = np.searchsorted(all_ids, b).clip(0, hi)
+    # ids absent from the signature matrix estimate as -1 (rejected) —
+    # without the guard searchsorted's insertion point would score the
+    # pair against an unrelated doc's signature (or np.take would raise
+    # past the end). Mirrors the distributed twin's missing-id handling.
+    if len(all_ids):
+        found = (all_ids[idx_a] == a) & (all_ids[idx_b] == b)
+    else:
+        found = np.zeros(len(a), bool)
     chunk = 1 << 17
     for i in range(0, len(a), chunk):
         sa = np.take(all_sigs, idx_a[i : i + chunk], axis=0)
         sb = np.take(all_sigs, idx_b[i : i + chunk], axis=0)
         est[i : i + chunk] = (sa == sb).mean(axis=1)
+    est[~found] = -1.0
     return est
 
 
@@ -981,6 +991,10 @@ def cluster_corpus_resumable(
     assert cfg.checkpoint_dir, "cluster_corpus_resumable requires checkpoint_dir"
     ckpt = StageCheckpoint(cfg.checkpoint_dir, cfg.fingerprint())
     files = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    if not files:
+        raise ValueError(
+            f"no *.parquet corpus files found under {corpus_dir!r}"
+        )
     if partition_by == "file":
         n_parts = len(files)
         groups = [[f] for f in files]
@@ -989,10 +1003,14 @@ def cluster_corpus_resumable(
         groups = [list(g) for g in np.array_split(np.asarray(files), n_parts)]
 
     def _prep(paths: list[str]) -> ray.data.Dataset:
+        # use_checksum=False: the near-dup tier never reads the content
+        # sha/md5 columns, and computing them here would pay two full
+        # cryptographic passes over the corpus for nothing
         return (
             project_corpus(
                 read_corpus(paths),
                 skip_hidden=cfg.skip_hidden,
+                use_checksum=False,
                 drop_content=False,
             )
             .filter(expr="is_symlink == False")
@@ -1228,8 +1246,17 @@ def cluster_corpus(
     verified, vmetrics = _verify_edges(edge_a, edge_b, signed, corpus, cfg)
     t_lsh = time.perf_counter()
 
-    uf = UnionFind()
-    uf.add_edges(verified)
+    # Component resolution: the driver union-find and the distributed
+    # min-label propagation are ALTERNATIVES (same node → min-component
+    # contract, tested equivalent) — never both. The containment pass
+    # needs the LSH-tier components as its pruning precomp, so when it
+    # runs the driver UF exists anyway and label propagation would be
+    # pure duplicate work; the distributed path takes over exactly when
+    # the driver never had to own the edges.
+    uf: UnionFind | None = None
+    if with_containment or len(verified) <= cfg.distributed_components_threshold:
+        uf = UnionFind()
+        uf.add_edges(verified)
 
     cont_edges: list[tuple[int, int]] = []
     if with_containment:
@@ -1242,22 +1269,18 @@ def cluster_corpus(
         uf.add_edges(cont_edges)
     t_cont = time.perf_counter()
 
-    all_edges = verified + cont_edges
-    if len(all_edges) > cfg.distributed_components_threshold:
-        # edge volume exceeds what a driver union-find should own →
-        # resolve components with distributed min-label propagation
-        # (same node → min-component-id contract, tested equivalent)
+    if uf is not None:
+        comp = uf.components()
+    else:
         from cloud_dedup_ray.state.union_find import (
             label_propagation_components,
         )
 
-        ea = np.fromiter((e[0] for e in all_edges), np.int64, len(all_edges))
-        eb = np.fromiter((e[1] for e in all_edges), np.int64, len(all_edges))
+        ea = np.fromiter((e[0] for e in verified), np.int64, len(verified))
+        eb = np.fromiter((e[1] for e in verified), np.int64, len(verified))
         comp = label_propagation_components(
             ray.data.from_arrow(pa.table({"a": ea, "b": eb}))
         )
-    else:
-        comp = uf.components()
     comp_keys = np.fromiter(comp.keys(), np.int64, len(comp))
     comp_vals = np.fromiter(comp.values(), np.int64, len(comp))
     korder = np.argsort(comp_keys)

@@ -24,11 +24,10 @@ import numpy as np
 import pyarrow as pa
 
 
-def splitmix64(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64, copy=True) + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+# canonical splitmix64 lives in functions/hashing (one mixer, one set
+# of constants); re-exported here for the existing coarse.splitmix64
+# callers
+from cloud_dedup_ray.functions.hashing import splitmix64  # noqa: E402,F401
 
 
 def int_partition(col: np.ndarray, num_partitions: int) -> np.ndarray:

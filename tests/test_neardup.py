@@ -198,10 +198,20 @@ def test_distributed_components_swapin_matches_driver_uf(small_corpus):
     )
     base = DedupConfig()
     forced = dataclasses.replace(base, distributed_components_threshold=0)
-    a1 = {r["doc_id"]: r["cluster_id"]
-          for r in cluster_corpus(corpus, base).assignments.take_all()}
-    a2 = {r["doc_id"]: r["cluster_id"]
-          for r in cluster_corpus(corpus, forced).assignments.take_all()}
+    # with_containment=False: the containment pass needs the driver UF
+    # as its precomp, so label propagation only takes over without it
+    a1 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_corpus(
+            corpus, base, with_containment=False
+        ).assignments.take_all()
+    }
+    a2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_corpus(
+            corpus, forced, with_containment=False
+        ).assignments.take_all()
+    }
     assert a1 == a2
 
 
