@@ -106,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.corpus:
         corpus = read_corpus(args.corpus)
     else:
-        roots: dict[str, str] = {}
+        # label → LIST of paths: two dirs sharing a label (e.g. the same
+        # basename, the tool's canonical comparison) must BOTH scan under
+        # that service label (reference keeps (label, path) tuples,
+        # :1419-1426) — a plain dict would silently drop all but the last
+        roots: dict[str, list[str]] = {}
         for raw in args.dirs:
             label, path = parse_dir_arg(raw)
             if not path.exists():
@@ -115,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
             if not path.is_dir():
                 print(f"Not a directory: {path}", file=sys.stderr)
                 return 2
-            roots[label] = str(path)
+            roots.setdefault(label, []).append(str(path))
         scanned, warnings = scan_filesystem(roots, skip_hidden=cfg.skip_hidden)
         corpus = attach_content(scanned)
 

@@ -219,6 +219,14 @@ def quality_features(texts: pa.Array) -> dict[str, pa.Array]:
     twins; ratios are verified rows-only."""
     n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
     n_tokens = token_count(texts)
+    # ONE tokenization for every token-derived feature, and the SAME
+    # RE2 \s+ split the n_tokens column and the DuckDB twin use —
+    # mixing Python str.split() (Unicode \s) in here would make
+    # mean/stop ratios inconsistent with their own n_tokens denominator
+    # on NBSP/\x0b-bearing text
+    toks_col = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(texts), r"\s+"
+    ).to_pylist()
     py = texts.to_pylist()
     mean_tok = np.zeros(len(py), np.float64)
     alpha_ratio = np.zeros(len(py), np.float64)
@@ -226,7 +234,7 @@ def quality_features(texts: pa.Array) -> dict[str, pa.Array]:
     for i, t in enumerate(py):
         if not t:
             continue
-        toks = t.split()
+        toks = [w for w in (toks_col[i] or []) if w]
         if toks:
             mean_tok[i] = sum(len(w) for w in toks) / len(toks)
             lowered = [w.lower() for w in toks]

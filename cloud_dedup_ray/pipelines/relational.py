@@ -27,6 +27,21 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _revenue_partial(t: pa.Table, keys: np.ndarray | None = None) -> pa.Table:
+    """Per-batch lineitem revenue combiner (shared by Q3 and the
+    order-revenue join): optional sorted-key semi-join filter, then
+    sum(extendedprice × (1 − discount)) per order key."""
+    if keys is not None:
+        mask = np.isin(np.asarray(t["l_orderkey"], np.int64), keys)
+        t = t.filter(pa.array(mask))
+    rev = pc.multiply(
+        t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+    )
+    df = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
+    g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style pricing summary with partial (in-batch) pre-agg."""
     ds = _read(
@@ -100,15 +115,7 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
-        keys = ray.get(ok_ref)
-        mask = np.isin(np.asarray(t["l_orderkey"], np.int64), keys)
-        t = t.filter(pa.array(mask))
-        rev = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
-        df = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
-        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _revenue_partial(t, keys=ray.get(ok_ref))
 
     from ray.data.aggregate import Sum
 
@@ -264,16 +271,8 @@ def order_revenue_join(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial_rev(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
-        df = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
-        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
     order_rev = (
-        li.map_batches(partial_rev, batch_format="pyarrow")
+        li.map_batches(_revenue_partial, batch_format="pyarrow")
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )

@@ -28,6 +28,10 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    if t.num_rows == 0:
+        # offsets has a single entry on an empty list column — guard
+        # before indexing so empty batches flow through as (0, 0)
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
     ids = np.asarray(t["vec_id"], np.int64)
     col = t["embedding"].combine_chunks()
     flat = np.asarray(col.flatten(), np.float64)
@@ -94,6 +98,10 @@ def emb_knn_batch(sf_dir: str, n_queries: int = 20, k: int = 5) -> pd.DataFrame:
         if hit.any():
             qids_l.append(ids[hit])
             qvecs_l.append(m[hit])
+    if not qids_l:
+        raise ValueError(
+            f"no query vectors with vec_id < {n_queries} in {sf_dir!r}"
+        )
     qid = np.concatenate(qids_l)
     order = np.argsort(qid)
     qid = qid[order]
@@ -182,6 +190,7 @@ def emb_knn_lsh(
         if hit.size:
             q = m[hit[0]]
             break
+    assert q is not None, f"query vec_id {query_vec_id} not found"
     q_buckets = [int(s.bucket(q[None, :])[0]) for s in signers]
     bk_ref = ray.put(q_buckets)
     sg_ref = ray.put(signers)
@@ -245,9 +254,13 @@ def _block_pair_sims(
     ids_a, ma = _batch_matrix(ta)
     ids_b, mb = _batch_matrix(tb)
     sims = _normalize_rows(ma) @ _normalize_rows(mb).T
+    mask = sims >= threshold
     if same:
-        sims = np.triu(sims, k=1)
-    ii, jj = np.nonzero(sims >= threshold)
+        # mask (not zero) the diagonal+lower triangle: zeroing via
+        # np.triu would leak lower-triangle cells as spurious 0.0-sim
+        # pairs whenever threshold <= 0
+        mask &= np.triu(np.ones_like(mask), k=1).astype(bool)
+    ii, jj = np.nonzero(mask)
     a, b = ids_a[ii], ids_b[jj]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     keep = lo < hi

@@ -298,18 +298,28 @@ def docs_simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
         order = np.lexsort((ids, cval, cid))
         keys = np.stack([cid[order], cval[order]], axis=1)
         a_out, b_out, h_out = [], [], []
+        row_chunk = 1024  # bound the (chunk × bucket) temporaries
         for sl in coarse.group_slices(order, keys):
             idx = order[sl]
             mem_ids, first = np.unique(ids[idx], return_index=True)
             if len(mem_ids) < 2:
                 continue
             mem_fps = fps[idx][first]
-            ii, jj = np.triu_indices(len(mem_ids), k=1)
-            h = hamming64(mem_fps[ii], mem_fps[jj])
-            keep = h <= max_hamming
-            a_out.append(mem_ids[ii][keep])
-            b_out.append(mem_ids[jj][keep])
-            h_out.append(h[keep].astype(np.int64))
+            # chunked upper-triangle emission: still COMPLETE (unlike the
+            # LSH tier's capped buckets, simhash pairs are a final answer
+            # with a brute-force-equality contract), but a boilerplate
+            # bucket of b docs allocates O(row_chunk × b) not O(b²)
+            n = len(mem_ids)
+            for lo_r in range(0, n - 1, row_chunk):
+                hi_r = min(lo_r + row_chunk, n - 1)
+                ii, jj = np.triu_indices(hi_r - lo_r, k=1, m=n - lo_r)
+                ii = ii + lo_r
+                jj = jj + lo_r
+                h = hamming64(mem_fps[ii], mem_fps[jj])
+                keep = h <= max_hamming
+                a_out.append(mem_ids[ii][keep])
+                b_out.append(mem_ids[jj][keep])
+                h_out.append(h[keep].astype(np.int64))
         if not a_out:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),

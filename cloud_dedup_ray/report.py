@@ -183,6 +183,14 @@ def _esc(x: Any) -> str:
     return html.escape("" if x is None else str(x))
 
 
+def _dir_str(d: Any) -> str:
+    """A label's directory spec may be one path or a list (same-label
+    dirs both scan under one service) — render either."""
+    if isinstance(d, (list, tuple)):
+        return ", ".join(str(p) for p in d)
+    return str(d)
+
+
 def badge(text: str, cls: str | None = None) -> str:
     """Pill badge; CSS class derived from the text (reference :818-821)."""
     cls = (cls or text).lower().replace("/", "-").replace(" ", "-")
@@ -563,7 +571,7 @@ def render_html(result: dict[str, Any]) -> str:
         for l in labels:
             parts.append(
                 f"<tr><td><strong>{_esc(l)}</strong></td>"
-                f"<td><code>{_esc(dirs.get(l, ''))}</code></td>"
+                f"<td><code>{_esc(_dir_str(dirs.get(l, '')))}</code></td>"
                 f"<td>{result.get('total_files', {}).get(l, 0):,}</td></tr>"
             )
         parts.append("</table>")

@@ -31,13 +31,66 @@ def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset
     return ray.data.read_parquet(path, columns=columns)
 
 
+def _walk_root(
+    label: str, root: str, rows: list[dict], warnings: list[str],
+    skip_hidden: bool,
+) -> None:
+    """Walk one root directory, appending corpus rows under ``label``."""
+    for dirpath, dirnames, filenames in os.walk(root, onerror=lambda e: warnings.append(
+        f"{label}: Permission denied or walk error: {e}"
+    )):
+        if skip_hidden:
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        for fname in filenames:
+            if fname == ".DS_Store":
+                continue
+            if skip_hidden and fname.startswith("."):
+                continue
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, root)
+            is_link = os.path.islink(full)
+            if is_link:
+                # Non-strict resolution (reference :154 Path.resolve()):
+                # dangling symlinks keep their resolved target string,
+                # so two links to the same missing target still compare
+                # target_identical.
+                try:
+                    target = os.path.realpath(full)
+                except OSError:
+                    target = None
+                size, mtime = -1, 0.0
+            else:
+                target = None
+                try:
+                    st = os.stat(full)
+                    size, mtime = st.st_size, st.st_mtime
+                except (OSError, PermissionError):
+                    size, mtime = 0, 0.0
+            rows.append(
+                {
+                    "repo": label,
+                    "path": rel.replace(os.sep, "/"),
+                    "commit": "",
+                    "lang": fname.rsplit(".", 1)[-1] if "." in fname else "",
+                    "content": None,          # filled by attach_content
+                    "size": size,
+                    "mtime": mtime,
+                    "is_symlink": is_link,
+                    "symlink_target": target,
+                    "_full_path": full,
+                }
+            )
+
+
 def scan_filesystem(
     roots: dict[str, str], skip_hidden: bool = True
 ) -> tuple[ray.data.Dataset, list[str]]:
     """Scan labeled root directories into the corpus schema.
 
-    ``roots`` maps label → directory (the reference's "service" roots,
-    parse_dir_arg :79-89). Returns (dataset, warnings). The driver walks
+    ``roots`` maps label → directory or LIST of directories (the
+    reference keeps (label, path) tuples, so two dirs sharing a label —
+    e.g. the same basename — both scan under that one service label;
+    parse_dir_arg :79-89, :1419-1426). Returns (dataset, warnings). The driver walks
     metadata (cheap); file CONTENT is read lazily in distributed tasks
     by :func:`attach_content`. Reference behaviors preserved: hidden
     dirs pruned during the walk and hidden files skipped when
@@ -49,52 +102,11 @@ def scan_filesystem(
     """
     rows: list[dict] = []
     warnings: list[str] = []
-    for label, root in roots.items():
+    for label, root_spec in roots.items():
         n_before = len(rows)
-        for dirpath, dirnames, filenames in os.walk(root, onerror=lambda e: warnings.append(
-            f"{label}: Permission denied or walk error: {e}"
-        )):
-            if skip_hidden:
-                dirnames[:] = [d for d in dirnames if not d.startswith(".")]
-            for fname in filenames:
-                if fname == ".DS_Store":
-                    continue
-                if skip_hidden and fname.startswith("."):
-                    continue
-                full = os.path.join(dirpath, fname)
-                rel = os.path.relpath(full, root)
-                is_link = os.path.islink(full)
-                if is_link:
-                    # Non-strict resolution (reference :154 Path.resolve()):
-                    # dangling symlinks keep their resolved target string,
-                    # so two links to the same missing target still compare
-                    # target_identical.
-                    try:
-                        target = os.path.realpath(full)
-                    except OSError:
-                        target = None
-                    size, mtime = -1, 0.0
-                else:
-                    target = None
-                    try:
-                        st = os.stat(full)
-                        size, mtime = st.st_size, st.st_mtime
-                    except (OSError, PermissionError):
-                        size, mtime = 0, 0.0
-                rows.append(
-                    {
-                        "repo": label,
-                        "path": rel.replace(os.sep, "/"),
-                        "commit": "",
-                        "lang": fname.rsplit(".", 1)[-1] if "." in fname else "",
-                        "content": None,          # filled by attach_content
-                        "size": size,
-                        "mtime": mtime,
-                        "is_symlink": is_link,
-                        "symlink_target": target,
-                        "_full_path": full,
-                    }
-                )
+        root_list = [root_spec] if isinstance(root_spec, str) else list(root_spec)
+        for root in root_list:
+            _walk_root(label, root, rows, warnings, skip_hidden)
         if len(rows) == n_before:
             warnings.append(f"{label}: 0 files found")
     if not rows:

@@ -229,3 +229,21 @@ def test_dangling_symlink_targets_survive_scan(tmp_path):
     assert by_path["diff.cfg"]["symlink_status"] == "target_diverged"
     html = open(out).read()
     assert "/missing/one" in html and "/missing/two" in html
+
+
+def test_same_label_dirs_both_scan(ray_session, tmp_path):
+    """Two directories sharing one label (e.g. same basename) must BOTH
+    scan under that service label — the reference keeps (label, path)
+    tuples, and a plain dict would silently drop all but the last."""
+    from cloud_dedup_ray.sources.corpus import scan_filesystem
+
+    a = tmp_path / "x" / "Photos"
+    b = tmp_path / "y" / "Photos"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    (a / "one.txt").write_text("alpha")
+    (b / "two.txt").write_text("beta")
+    ds, warnings = scan_filesystem({"Photos": [str(a), str(b)]})
+    rows = ds.take_all()
+    assert sorted(r["path"] for r in rows) == ["one.txt", "two.txt"]
+    assert {r["repo"] for r in rows} == {"Photos"}
