@@ -235,7 +235,9 @@ def docs_simhash(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def docs_simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+def docs_simhash_pairs(
+    sf_dir: str, max_hamming: int = 6, pair_chunk_rows: int = 1024
+) -> pd.DataFrame:
     """SimHash near-dup pairs within Hamming ≤ k, blocked on PAIRS of
     8-bit fingerprint chunks (Manku et al. WWW'07 multi-table scheme):
     with the 64-bit fingerprint split into 8 chunks, ≤6 differing bits
@@ -298,7 +300,7 @@ def docs_simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
         order = np.lexsort((ids, cval, cid))
         keys = np.stack([cid[order], cval[order]], axis=1)
         a_out, b_out, h_out = [], [], []
-        row_chunk = 1024  # bound the (chunk × bucket) temporaries
+        row_chunk = pair_chunk_rows  # bound the (chunk × bucket) temporaries
         for sl in coarse.group_slices(order, keys):
             idx = order[sl]
             mem_ids, first = np.unique(ids[idx], return_index=True)

@@ -181,6 +181,11 @@ def test_simhash_pairs_complete_vs_bruteforce():
     got = set(zip(df.doc_a, df.doc_b))
     assert got == truth
 
+    # chunked pair emission (pair_chunk_rows smaller than the buckets)
+    # must stay COMPLETE — same pair set as the single-chunk path
+    df_chunked = docs_simhash_pairs(sf, pair_chunk_rows=2)
+    assert set(zip(df_chunked.doc_a, df_chunked.doc_b)) == truth
+
 
 def test_distributed_components_swapin_matches_driver_uf(small_corpus):
     """Forcing the label-propagation reducer (threshold 0) must yield
