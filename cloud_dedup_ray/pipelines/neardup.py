@@ -337,11 +337,18 @@ def _estimate_pairs_distributed(
 
     def _finish(sig_part, *slices):
         ids_s, sigs_s = sig_part
-        pa_ = np.concatenate([s[0] for s in slices])
-        pb = np.concatenate([s[1] for s in slices])
-        plo = np.concatenate([s[2] for s in slices])
-        phi = np.concatenate([s[3] for s in slices])
-        sa = np.concatenate([s[4] for s in slices])
+        # drop zero-row slices: an empty source partition hands _attach_a a
+        # (0, 1) signature placeholder, so its slices carry width-1 ``sa``
+        # arrays that must not join the concatenate with (k, num_perm) ones
+        live = [s for s in slices if len(s[0])]
+        if not live:
+            empty = np.empty((0, 2), np.int64)
+            return empty, empty
+        pa_ = np.concatenate([s[0] for s in live])
+        pb = np.concatenate([s[1] for s in live])
+        plo = np.concatenate([s[2] for s in live])
+        phi = np.concatenate([s[3] for s in live])
+        sa = np.concatenate([s[4] for s in live])
         idx = np.searchsorted(ids_s, pb).clip(0, max(len(ids_s) - 1, 0))
         found = ids_s[idx] == pb if len(ids_s) else np.zeros(len(pb), bool)
         est = np.full(len(pb), -1.0)
@@ -421,8 +428,9 @@ def _verify_edges(
     cand_ids = np.unique(np.concatenate([a, b]))
     if len(cand_ids) > cfg.distributed_estimate_threshold:
         # scale path: partitioned hash join of pairs × signatures —
-        # driver never holds the signature matrix
-        t_fetch = time.perf_counter()
+        # driver never holds the signature matrix. Fetch and estimate are
+        # fused inside the join, so report one combined metric instead of
+        # a fetch/estimate split that would misattribute the wall time.
         acc_pairs, unc_pairs = _estimate_pairs_distributed(
             signed, a, b,
             np.full(len(a), cfg.jaccard_threshold - margin),
@@ -430,6 +438,8 @@ def _verify_edges(
         )
         verified = list(map(tuple, acc_pairs.tolist()))
         uncertain_list = list(map(tuple, unc_pairs.tolist()))
+        t_est = time.perf_counter()
+        timing = {"sec_verify_join": round(t_est - t0, 3)}
     else:
         all_ids, all_sigs = _fetch_signatures(signed, cand_ids)
         t_fetch = time.perf_counter()
@@ -438,7 +448,11 @@ def _verify_edges(
         uncertain = (~accept) & (est >= cfg.jaccard_threshold - margin)
         verified = list(zip(a[accept].tolist(), b[accept].tolist()))
         uncertain_list = list(zip(a[uncertain].tolist(), b[uncertain].tolist()))
-    t_est = time.perf_counter()
+        t_est = time.perf_counter()
+        timing = {
+            "sec_verify_sig_fetch": round(t_fetch - t0, 3),
+            "sec_verify_estimate": round(t_est - t_fetch, 3),
+        }
     n_exact = len(uncertain_list)
     if n_exact:
         exact_ok = _exact_jaccard_edges(corpus, uncertain_list, cfg)
@@ -447,8 +461,7 @@ def _verify_edges(
         "n_candidates": len(a),
         "n_verified": len(verified),
         "n_exact_checked": n_exact,
-        "sec_verify_sig_fetch": round(t_fetch - t0, 3),
-        "sec_verify_estimate": round(t_est - t_fetch, 3),
+        **timing,
         "sec_verify_exact": round(time.perf_counter() - t_est, 3),
     }
 
@@ -1025,9 +1038,19 @@ def cluster_corpus_resumable(
             base = os.path.basename(g[0])
             st = os.stat(g[0])
             stage = "sig_file_" + hashlib.sha256(base.encode()).hexdigest()[:12]
+            # ns-resolution mtime plus inode and ctime close the rsync
+            # quick-check blind spot: a shard rewritten in place with
+            # preserved (size, coarse mtime) still invalidates — the
+            # rewrite lands a new inode or at least a new ctime
             scope = hashlib.sha256(
                 json.dumps(
-                    {"file": base, "size": st.st_size, "mtime": st.st_mtime}
+                    {
+                        "file": base,
+                        "size": st.st_size,
+                        "mtime_ns": st.st_mtime_ns,
+                        "ino": st.st_ino,
+                        "ctime_ns": st.st_ctime_ns,
+                    }
                 ).encode()
             ).hexdigest()[:16]
         else:
@@ -1074,7 +1097,12 @@ def cluster_corpus_resumable(
     corpus_scope = hashlib.sha256(
         json.dumps(
             [
-                (os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime)
+                (
+                    os.path.basename(f),
+                    os.stat(f).st_size,
+                    os.stat(f).st_mtime_ns,
+                    os.stat(f).st_ino,
+                )
                 for f in files
             ]
         ).encode()
@@ -1093,28 +1121,39 @@ def cluster_corpus_resumable(
 
 def _corpus_identity_scope(corpus: ray.data.Dataset) -> str:
     """Order-independent identity of a corpus Dataset for checkpoint
-    scoping: row count + wrap-around sums of doc_id and (when present)
-    mtime and the leading 8 bytes of content_sha256, folded per batch so
-    only a few ints reach the driver. Any row added/removed/edited
-    (with checksums on) or touched (mtime) changes the scope."""
+    scoping: row count + a wrap-around sum of a per-row COUPLED hash —
+    splitmix64(doc_id ^ float64-bits(mtime) ^ sha256-prefix), folded per
+    batch so only a few ints reach the driver. Coupling the fields
+    inside one mixed value (rather than summing each column
+    independently) means multiset-preserving edits — two files swapping
+    content, compensating mtime touches — still change the scope, and
+    using the raw float64 bit pattern keeps sub-second mtime changes
+    visible. Any row added/removed/edited (with checksums on) or
+    touched (mtime) changes the scope."""
     names = corpus.schema().names
     cols = ["doc_id"] + [c for c in ("mtime", "content_sha256") if c in names]
 
     M63 = (1 << 63) - 1  # keep every accumulator inside Arrow int64
 
     def fold(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"], np.int64).view(np.uint64)
-        acc = {
-            "n": [t.num_rows],
-            "idsum": [int(ids.sum(dtype=np.uint64)) & M63],
-        }
+        from cloud_dedup_ray.functions.hashing import splitmix64
+
+        key = np.asarray(t["doc_id"], np.int64).view(np.uint64).copy()
         if "mtime" in t.schema.names:
-            mt = np.asarray(t["mtime"], np.float64)
-            acc["mtsum"] = [int(np.nan_to_num(mt).sum()) & M63]
+            mt = np.nan_to_num(np.asarray(t["mtime"], np.float64))
+            key ^= mt.view(np.uint64)
         if "content_sha256" in t.schema.names:
             sha = t["content_sha256"].to_pylist()
-            acc["shasum"] = [sum(int(s[:16], 16) for s in sha if s) & M63]
-        return pa.table(acc)
+            key ^= np.array(
+                [int(s[:16], 16) if s else 0 for s in sha], np.uint64
+            )
+        mixed = splitmix64(key)
+        return pa.table(
+            {
+                "n": [t.num_rows],
+                "mixsum": [int(mixed.sum(dtype=np.uint64)) & M63],
+            }
+        )
 
     totals: dict[str, int] = {}
     for bt in corpus.select_columns(cols).map_batches(

@@ -273,11 +273,74 @@ def _block_pair_sims(
     )
 
 
+def _cone_pruned_block_pairs(
+    centroids: np.ndarray,
+    radii: np.ndarray,
+    threshold: float,
+    group_size: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Two-level exact cone pruning over LSH-sorted block cones.
+
+    Level 1 groups ``group_size`` consecutive blocks under one covering
+    cone (centroid = normalized mean of member centroids, radius =
+    max(angle-to-member + member radius) — every vector of every member
+    block lies inside it, so the group-pair bound
+    cos(max(0, θ − Rᵢ − Rⱼ)) is a true upper bound and pruning stays
+    EXACT). Level 2 applies the per-block bound only inside surviving
+    group pairs. Returns (block_i, block_j, n_block_pairs_enumerated):
+    the surviving i ≤ j block pairs plus how many block-level bounds
+    were actually evaluated — the driver-memory metric that replaces
+    the old full B×B matrix (worst case it degrades to B²/2, but only when
+    nothing is prunable, i.e. the data is angularly uniform)."""
+    n = len(radii)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e, 0
+    n_groups = -(-n // group_size)
+    g_cent = np.empty((n_groups, centroids.shape[1]))
+    g_rad = np.empty(n_groups)
+    for g in range(n_groups):
+        sl = slice(g * group_size, min((g + 1) * group_size, n))
+        mc, mr = centroids[sl], radii[sl]
+        c = mc.mean(axis=0)
+        norm = np.linalg.norm(c)
+        c = c / norm if norm > 0 else mc[0]
+        ang = np.arccos(np.clip(mc @ c, -1.0, 1.0))
+        g_cent[g], g_rad[g] = c, float((ang + mr).max())
+    g_theta = np.arccos(np.clip(g_cent @ g_cent.T, -1.0, 1.0))
+    g_best = np.cos(np.maximum(0.0, g_theta - g_rad[:, None] - g_rad[None, :]))
+    gi, gj = np.triu_indices(n_groups)
+    g_live = g_best[gi, gj] >= threshold
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    n_enumerated = 0
+    for a, b in zip(gi[g_live], gj[g_live]):
+        bi = np.arange(a * group_size, min((a + 1) * group_size, n))
+        bj = np.arange(b * group_size, min((b + 1) * group_size, n))
+        th = np.arccos(np.clip(centroids[bi] @ centroids[bj].T, -1.0, 1.0))
+        best = np.cos(
+            np.maximum(0.0, th - radii[bi][:, None] - radii[bj][None, :])
+        )
+        mask = best >= threshold
+        if a == b:
+            mask &= np.triu(np.ones_like(mask, dtype=bool))
+        n_enumerated += mask.size if a != b else len(bi) * (len(bi) + 1) // 2
+        ii, jj = np.nonzero(mask)
+        if len(ii):
+            out_i.append(bi[ii])
+            out_j.append(bj[jj])
+    if not out_i:
+        e = np.empty(0, np.int64)
+        return e, e, n_enumerated
+    return np.concatenate(out_i), np.concatenate(out_j), n_enumerated
+
+
 def emb_neardup_pairs(
     sf_dir: str,
     threshold: float = 0.38,
     block_rows: int = 4096,
     n_planes: int = 12,
+    group_size: int = 64,
     metrics_out: dict | None = None,
 ) -> pd.DataFrame:
     """All pairs with cosine ≥ threshold — EXACT (recall 1.0 by
@@ -302,10 +365,27 @@ def emb_neardup_pairs(
     The O(n²) worst case is inherent to exact all-pairs output; this
     distributes it as bounded-memory tasks and prunes the angularly
     impossible quadrant of the work. The approximate scale path (top-k
-    per query) is ``emb_knn_lsh`` / ``emb_knn_ivf``."""
+    per query) is ``emb_knn_lsh`` / ``emb_knn_ivf``.
+
+    Block-pair enumeration is HIERARCHICAL (two-level cones): blocks
+    are grouped into runs of ``group_size`` consecutive LSH-sorted
+    blocks, each group gets its own bounding cone (covering every
+    member cone, so the group-pair bound is still an exact upper
+    bound), and per-block cone checks run only inside surviving group
+    pairs. The driver therefore holds O(G²) + Σ surviving
+    (group_size)² bounds instead of the full B×B matrix — at 10⁹
+    vectors (B ≈ 244k blocks, G ≈ 4k groups) that is ~10⁷ group
+    bounds, not 3·10¹⁰ block pairs."""
     ds = _emb(sf_dir)
-    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
-    dim = len(first["embedding"][0].as_py())
+    probe = ds.take(1)
+    if not probe:
+        # empty corpus: nothing to sign/sort — return the typed empty
+        # frame rather than letting the first-batch probe StopIteration
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+    dim = len(probe[0]["embedding"])
     signer_ref = ray.put(HyperplaneLSH(dim, n_planes, seed=7))
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -328,21 +408,20 @@ def emb_neardup_pairs(
     n = len(refs)
     centroids = np.stack([c for c, _ in cones]) if n else np.zeros((0, dim))
     radii = np.array([r for _, r in cones])
-    # pairwise min-possible angle between block cones, vectorized
-    theta = np.arccos(np.clip(centroids @ centroids.T, -1.0, 1.0))
-    best_cos = np.cos(np.maximum(0.0, theta - radii[:, None] - radii[None, :]))
-    ii, jj = np.triu_indices(n)
-    live = best_cos[ii, jj] >= threshold
+    live_i, live_j, n_enumerated = _cone_pruned_block_pairs(
+        centroids, radii, threshold, group_size
+    )
     futures = [
         _block_pair_sims.remote(refs[i], refs[j], i == j, threshold)
-        for i, j in zip(ii[live], jj[live])
+        for i, j in zip(live_i, live_j)
     ]
     if metrics_out is not None:
         metrics_out.update(
             {
                 "n_blocks": n,
-                "n_block_pairs_total": len(ii),
-                "n_block_pairs_pruned": int((~live).sum()),
+                "n_block_pairs_total": n * (n + 1) // 2,
+                "n_block_pairs_enumerated": n_enumerated,
+                "n_block_pairs_pruned": n * (n + 1) // 2 - len(live_i),
             }
         )
     parts = [t for t in ray.get(futures) if t.num_rows]

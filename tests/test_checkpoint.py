@@ -238,3 +238,40 @@ def test_direct_checkpoint_invalidated_by_input_change(corpus, tmp_path, monkeyp
     changed = ray.data.from_pandas(tbl).materialize()
     cluster_corpus(changed, cfg, with_containment=False)
     assert calls == [1]
+
+
+def test_corpus_identity_scope_couples_fields():
+    """Multiset-preserving edits (two rows swapping content hashes,
+    compensating mtime changes) must change the scope — the fold mixes
+    each row's fields into ONE hash before summing, so per-column sums
+    staying equal is not enough to collide. Sub-second mtime touches
+    must also register (raw float64 bit pattern, no int truncation)."""
+    import ray.data
+
+    from cloud_dedup_ray.pipelines.neardup import _corpus_identity_scope
+
+    rows = [
+        {"doc_id": 1, "mtime": 100.0, "content_sha256": "aa" * 32},
+        {"doc_id": 2, "mtime": 200.0, "content_sha256": "bb" * 32},
+    ]
+    base = _corpus_identity_scope(ray.data.from_items(rows))
+    # same multiset of doc_ids, mtimes and sha prefixes — rows swapped
+    swapped = [
+        {"doc_id": 1, "mtime": 100.0, "content_sha256": "bb" * 32},
+        {"doc_id": 2, "mtime": 200.0, "content_sha256": "aa" * 32},
+    ]
+    assert _corpus_identity_scope(ray.data.from_items(swapped)) != base
+    # compensating mtime edits keep the per-column sum identical
+    compensated = [
+        {"doc_id": 1, "mtime": 150.0, "content_sha256": "aa" * 32},
+        {"doc_id": 2, "mtime": 150.0, "content_sha256": "bb" * 32},
+    ]
+    assert _corpus_identity_scope(ray.data.from_items(compensated)) != base
+    # sub-second touch
+    touched = [
+        {"doc_id": 1, "mtime": 100.0000001, "content_sha256": "aa" * 32},
+        {"doc_id": 2, "mtime": 200.0, "content_sha256": "bb" * 32},
+    ]
+    assert _corpus_identity_scope(ray.data.from_items(touched)) != base
+    # identical input reproduces the scope (order-independent)
+    assert _corpus_identity_scope(ray.data.from_items(rows[::-1])) == base

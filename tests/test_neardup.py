@@ -345,3 +345,53 @@ def test_distributed_estimate_matches_driver_path(small_corpus):
     assert a1 == a2
     assert r1.n_edges == r2.n_edges
     assert r1.metrics["n_containment_edges"] == r2.metrics["n_containment_edges"]
+
+
+def test_distributed_estimate_with_empty_partitions():
+    """A corpus with fewer docs than hash partitions leaves most of the
+    32 doc_id partitions empty; the (0, 1) signature placeholders those
+    partitions emit must not poison _finish's concatenate (the width-1
+    ``sa`` slices crashed np.concatenate before the zero-row guard)."""
+    from cloud_dedup_ray.pipelines.neardup import (
+        _estimate_pairs_distributed,
+        _estimate_pair_jaccard,
+        _fetch_signatures,
+        sign_dataset,
+    )
+
+    corpus = ray.data.from_items(
+        [
+            {
+                "doc_id": i,
+                "content": ("lorem ipsum dolor sit amet " * 8) + tail,
+            }
+            for i, tail in enumerate(
+                ["", "", "alpha beta", "gamma delta epsilon", "zeta " * 12]
+            )
+        ]
+    )
+    cfg = DedupConfig()
+    signed = sign_dataset(corpus, cfg).materialize()
+    ids = np.arange(5, dtype=np.int64)
+    # all unordered pairs, plus one pair with a missing doc_id
+    a, b = np.triu_indices(5, k=1)
+    a = np.concatenate([ids[a], [np.int64(99)]])
+    b = np.concatenate([ids[b], [np.int64(0)]])
+    lo = np.full(len(a), 0.3)
+    hi = np.full(len(a), 0.8)
+    acc, unc = _estimate_pairs_distributed(signed, a, b, lo, hi)
+
+    all_ids, all_sigs = _fetch_signatures(signed, np.unique(np.concatenate([a, b])))
+    est = _estimate_pair_jaccard(all_ids, all_sigs, a, b)
+    exp_acc = set(zip(a[est >= hi].tolist(), b[est >= hi].tolist()))
+    exp_unc = set(
+        zip(a[(est < hi) & (est >= lo)].tolist(), b[(est < hi) & (est >= lo)].tolist())
+    )
+    assert set(map(tuple, acc.tolist())) == exp_acc
+    assert set(map(tuple, unc.tolist())) == exp_unc
+    assert len(exp_acc) > 0  # the identical-text pair must be accepted
+
+    # all-empty input: no pairs, empty signed partitions everywhere
+    e = np.empty(0, np.int64)
+    acc0, unc0 = _estimate_pairs_distributed(signed, e, e, e.astype(float), e.astype(float))
+    assert acc0.shape == (0, 2) and unc0.shape == (0, 2)
