@@ -45,6 +45,27 @@ def _bench_corpus_dir(sf: float) -> str:
                         n_repos=4, n_shards=64)
 
 
+def _make_probe_buffer():
+    """Pre-faulted 256 MB buffer for the noise probe. Faulting it once up
+    front (first-touch on this lazily-backed VM runs at ~10-100 MB/s)
+    means later refills measure pure memory bandwidth."""
+    import numpy as np
+
+    buf = np.empty(256 * 1024 * 1024 // 8)
+    buf[:] = 1.0
+    return buf
+
+
+def _probe_gbps(buf) -> float:
+    """Sequential-refill bandwidth of the pre-faulted buffer, in GB/s.
+    Clean windows on this host measure 5-7.4 GB/s; co-tenant-contended /
+    degraded-memory windows (the mode that inflated BENCH_r02's
+    cont_fetch 4x over steady) drop well below 2."""
+    t = time.perf_counter()
+    buf[:] = time.perf_counter()
+    return round(0.256 / (time.perf_counter() - t), 2)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -121,23 +142,64 @@ def run_bench() -> dict:
             time.perf_counter() - t, 3
         )
 
-    # Cold + best-of-2 steady passes: the first pass pays one-time costs
-    # a long-running job amortizes (worker startup, first-touch page
-    # faults on this lazily-backed VM, object-store arena faulting); the
-    # steady passes measure sustained throughput, and taking the best of
-    # two rejects host-noise outliers (shared-box interference measured
-    # at ±50% on long runs). All numbers are reported.
-    # cold + 3 steady by default: host noise is ±40% run-to-run, and
-    # best-of-3 steady passes reject a single contended window
+    # Cold + best-of-N steady passes with a NOISE GATE. The first pass
+    # pays one-time costs a long-running job amortizes (worker startup,
+    # first-touch page faults on this lazily-backed VM, object-store
+    # arena faulting); steady passes measure sustained throughput. This
+    # host has hour-scale degraded-memory / co-tenant windows that
+    # inflate fault-bound stages 3-10x (BENCH_r02 recorded cont_fetch at
+    # 11.9 s vs ~3 s steady), so each pass is bracketed by a memory-
+    # bandwidth probe and a pass is VALID only if (a) its probe read
+    # >= PROBE_FLOOR GB/s (clean windows: 5-7 GB/s; contended: <2) and
+    # (b) its cont_fetch is within 3x of the best cont_fetch observed.
+    # If no valid pass exists after the base runs, extra passes run
+    # (bounded) until one does; the output flags contamination either way.
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "4"))
-    runs = [_headline_once() for _ in range(n_runs)]
+    max_extra = int(os.environ.get("GRAFT_BENCH_MAX_EXTRA", "3"))
+    probe_floor = float(os.environ.get("GRAFT_PROBE_FLOOR_GBPS", "2.5"))
+    probe_buf = _make_probe_buffer()
+    runs: list[tuple] = []
+    probes: list[float] = []  # min(bandwidth before, after) per pass
+
+    def _fetch_of(r) -> float:
+        return float(r[0].metrics.get("sec_cont_fetch", 0.0))
+
+    def _valid_runs():
+        if not runs:
+            return []
+        min_fetch = min(_fetch_of(r) for r in runs)
+        fetch_cap = 3.0 * max(min_fetch, 0.25)
+        return [
+            r
+            for r, p in zip(runs, probes)
+            if p >= probe_floor and _fetch_of(r) <= fetch_cap
+        ]
+
+    for i in range(n_runs + max_extra):
+        if i >= n_runs and _valid_runs():
+            break
+        # bracket each pass with the probe and keep the WORSE reading —
+        # a window that degrades mid-pass must invalidate that pass
+        before = _probe_gbps(probe_buf)
+        runs.append(_headline_once())
+        probes.append(min(before, _probe_gbps(probe_buf)))
+    del probe_buf
     cold_sec = runs[0][-1]
+    valid = _valid_runs()
+    contaminated = not valid
     nd, res, n_rows, n_groups, t_near, t_exact, headline = min(
-        runs, key=lambda r: r[-1]
+        valid or runs, key=lambda r: r[-1]
     )
     queries["neardup_cluster"] = t_near
     queries["exact_tier"] = t_exact
     steady_secs = [r[-1] for r in runs[1:]]
+    noise_gate = {
+        "probe_gbps": probes,
+        "probe_floor_gbps": probe_floor,
+        "n_passes": len(runs),
+        "n_valid": len(valid),
+        "window_contaminated": contaminated,
+    }
 
     # --- documents minhash clustering at this sf ---
     from cloud_dedup_ray.pipelines.textops import docs_minhash_clusters
@@ -163,6 +225,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "cold_start_sec": cold_sec,
         "steady_secs": steady_secs,
+        "noise_gate": noise_gate,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
@@ -230,6 +293,7 @@ def run_scaling() -> dict:
         if _shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         last_err = ""
+        last_parsed = None
         for _attempt in range(2):
             p = subprocess.run(
                 cmd,
@@ -241,10 +305,21 @@ def run_scaling() -> dict:
             # code AFTER the print) must not discard a finished run.
             if p.stdout.strip():
                 try:
-                    return json.loads(p.stdout.strip().splitlines()[-1])
+                    parsed = json.loads(p.stdout.strip().splitlines()[-1])
                 except json.JSONDecodeError:
-                    pass
+                    parsed = None
+                if parsed is not None:
+                    # a child that flagged its whole window contaminated
+                    # gets one fresh-process retry; its result is still
+                    # used if the retry is contaminated too
+                    gate = parsed.get("noise_gate", {})
+                    if gate.get("window_contaminated") and _attempt == 0:
+                        last_parsed = parsed
+                        continue
+                    return parsed
             last_err = p.stderr[-2000:]
+        if last_parsed is not None:
+            return last_parsed
         raise RuntimeError(
             f"bench child (num_cpus={ncpu}) failed twice; stderr tail:\n{last_err}"
         )
@@ -266,6 +341,8 @@ def run_scaling() -> dict:
         f"queries_{hi}": r_hi.get("queries"),
         f"steady_{lo}": r_lo.get("steady_secs"),
         f"steady_{hi}": r_hi.get("steady_secs"),
+        f"noise_gate_{lo}": r_lo.get("noise_gate"),
+        f"noise_gate_{hi}": r_hi.get("noise_gate"),
         "sf": r_lo["sf"],
         "note": (
             "two fresh ray.init processes on identical input, each "
