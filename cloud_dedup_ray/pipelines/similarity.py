@@ -5,10 +5,12 @@
   against it (vectorized; zero-copy Arrow list column → numpy), partial
   top-k per batch, final merge on the driver. This is the baseline and
   the oracle-checkable path (DuckDB ``list_cosine_similarity`` twin).
-* ``emb_knn_lsh`` — random-hyperplane LSH bucketing (the scale path):
-  sign-pattern buckets shrink the candidate set; exact re-rank inside
-  the union of the query's buckets. Recall measured against brute force
-  in tests.
+* ``emb_knn_lsh`` / ``emb_knn_ivf`` — ANN over bucket-/centroid-
+  partitioned Parquet (the scale path): the index is written once
+  (hive-partitioned by LSH table+bucket resp. IVF centroid), a query
+  reads ONLY its probed partitions and exact-re-ranks inside them, so
+  query cost is ∝ probed rows, not corpus rows. Recall measured against
+  brute force in tests; reads-∝-probes asserted in tests too.
 * ``emb_neardup_pairs`` — embedding-cosine near-dup pairs ≥ threshold,
   exact: LSH-sorted blocks in the object store, bounding-cone pruning
   of block pairs, one bounded-memory matmul task per surviving pair.
@@ -170,47 +172,218 @@ class HyperplaneLSH:
         return pa.table({"vec_id": ids, "bucket": self.bucket(m)})
 
 
-def emb_knn_lsh(
-    sf_dir: str, query_vec_id: int = 0, k: int = 10,
-    n_planes: int = 6, n_tables: int = 8,
-) -> pd.DataFrame:
-    """ANN top-k: multi-table random-hyperplane LSH candidate
-    generation, exact cosine re-rank of candidates."""
-    ds = _emb(sf_dir).materialize()
-    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
-    dim = len(first["embedding"][0].as_py())
-
-    signers = [
-        HyperplaneLSH(dim, n_planes, seed=1000 + t) for t in range(n_tables)
-    ]
-    q = None
-    for t in ds.iter_batches(batch_format="pyarrow"):
+def _lookup_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    """Fetch one query embedding by id (stops at the first batch that
+    contains it — this is query acquisition, not the search)."""
+    for t in _emb(sf_dir).iter_batches(batch_format="pyarrow"):
         ids, m = _batch_matrix(t)
         hit = np.nonzero(ids == query_vec_id)[0]
         if hit.size:
-            q = m[hit[0]]
-            break
-    assert q is not None, f"query vec_id {query_vec_id} not found"
-    q_buckets = [int(s.bucket(q[None, :])[0]) for s in signers]
-    bk_ref = ray.put(q_buckets)
-    sg_ref = ray.put(signers)
+            return m[hit[0]]
+    raise AssertionError(f"query vec_id {query_vec_id} not found")
 
-    def candidates(t: pa.Table) -> pa.Table:
-        sgs, qb = ray.get(sg_ref), ray.get(bk_ref)
+
+# ---------------------------------------------------------------------
+# Bucket-partitioned ANN index storage (the scale path).
+#
+# ``build_lsh_index`` / ``build_ivf_index`` write the corpus ONCE as
+# bucket-/centroid-partitioned Parquet (hive layout: ``table=T/bucket=B``
+# resp. ``cent=C`` directories). A query then reads ONLY its probed
+# partitions — cost ∝ probed-partition rows, not corpus rows. The LSH
+# layout stores the embedding once per table (the classic multi-table
+# space-for-time trade: ×n_tables storage buys sublinear query reads);
+# IVF stores each vector exactly once. At petabyte scale the build adds
+# ``min_rows_per_file``-style compaction per partition; here each write
+# task emits one file per (block, partition) which is the same layout.
+# ---------------------------------------------------------------------
+
+
+def _ann_cache_dir(sf_dir: str, tag: str, params: list) -> str:
+    """Deterministic index location keyed on the source file identity
+    (size + mtime_ns) and the index parameters, so a changed corpus or
+    config never reuses a stale index."""
+    import hashlib
+    import json
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        json.dumps(
+            {"src": src, "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+             "params": params},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+    return f"/tmp/cdr_ann/{tag}_{key}"
+
+
+def _atomic_build(index_dir: str, build) -> None:
+    """Build into a scratch dir and rename into place: a crashed or
+    concurrent build can never leave a half-written index that a later
+    write_parquet would append duplicate rows into."""
+    import os
+    import shutil
+
+    tmp = f"{index_dir}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+    build(tmp)
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        # another process won the race — use its index
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _read_meta(index_dir: str) -> dict | None:
+    import json
+    import os
+
+    path = f"{index_dir}/meta.json"
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = f"{index_dir}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{index_dir}/meta.json")
+
+
+def _partition_files(paths: list[str]) -> list[str]:
+    """Parquet files under the probed partition dirs (read_parquet with
+    a multi-path list expects files, not directories)."""
+    import os
+
+    out = []
+    for p in paths:
+        for root, _, files in os.walk(p):
+            out.extend(
+                os.path.join(root, fn)
+                for fn in sorted(files)
+                if fn.endswith(".parquet")
+            )
+    return out
+
+
+def _probe_partition_stats(paths: list[str]) -> dict:
+    """Bytes/files under the probed partition dirs — the 'reads ∝ probed
+    partitions' evidence surfaced through ``metrics_out``."""
+    import os
+
+    files = _partition_files(paths)
+    return {
+        "n_probed_files": len(files),
+        "n_probed_bytes": sum(os.path.getsize(f) for f in files),
+    }
+
+
+def build_lsh_index(
+    sf_dir: str, index_dir: str,
+    n_planes: int = 6, n_tables: int = 8, seed_base: int = 1000,
+) -> str:
+    """Write the embeddings as ``table=T/bucket=B``-partitioned Parquet:
+    each vector appears once per LSH table, under its sign-pattern
+    bucket. One streaming pass; the partitioned write is the only wide
+    step (Ray fans rows out to per-partition files)."""
+    ds = _emb(sf_dir)
+    probe = ds.take(1)
+    dim = len(probe[0]["embedding"]) if probe else 0
+    signers_ref = ray.put(
+        [HyperplaneLSH(dim, n_planes, seed_base + t) for t in range(n_tables)]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        sgs = ray.get(signers_ref)
         ids, m = _batch_matrix(t)
-        mask = np.zeros(len(ids), bool)
-        for s, b in zip(sgs, qb):
-            mask |= s.bucket(m) == b
-        mask &= ids != query_vec_id
-        keep = t.filter(pa.array(mask))
-        return keep
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], t["embedding"].type),
+                 "table": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        parts = []
+        for ti, s in enumerate(sgs):
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": t["vec_id"],
+                        "embedding": t["embedding"],
+                        "table": pa.array(
+                            np.full(len(ids), ti, np.int64)
+                        ),
+                        "bucket": pa.array(s.bucket(m)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
-    qn = q / np.linalg.norm(q)
-    qref = ray.put(qn)
+    ds.map_batches(explode, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["table", "bucket"]
+    )
+    _write_meta(
+        index_dir,
+        {"kind": "lsh", "dim": dim, "n_planes": n_planes,
+         "n_tables": n_tables, "seed_base": seed_base},
+    )
+    return index_dir
+
+
+def query_lsh_index(
+    index_dir: str, qvec: np.ndarray, k: int = 10,
+    exclude_id: int | None = None, metrics_out: dict | None = None,
+) -> pd.DataFrame:
+    """Top-k from a built LSH index: compute the query's bucket per
+    table, read ONLY those ``table=T/bucket=B`` partitions, exact-cosine
+    re-rank of the (deduplicated) candidates. Rows/bytes read are
+    proportional to the probed partitions, never the corpus."""
+    import os
+
+    meta = _read_meta(index_dir)
+    assert meta and meta["kind"] == "lsh", f"no LSH index at {index_dir}"
+    signers = [
+        HyperplaneLSH(meta["dim"], meta["n_planes"], meta["seed_base"] + t)
+        for t in range(meta["n_tables"])
+    ]
+    paths = []
+    for ti, s in enumerate(signers):
+        b = int(s.bucket(qvec[None, :])[0])
+        p = f"{index_dir}/table={ti}/bucket={b}"
+        if os.path.isdir(p):
+            paths.append(p)
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series(dtype="int64"),
+         "cos_sim": pd.Series(dtype="float64")}
+    )
+    if metrics_out is not None:
+        metrics_out.update(_probe_partition_stats(paths))
+        metrics_out["n_probed_partitions"] = len(paths)
+    files = _partition_files(paths)
+    if not files:
+        return empty
+    cand = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    qn = qvec / np.linalg.norm(qvec)
+    q_ref = ray.put(qn)
 
     def rerank(t: pa.Table) -> pa.Table:
-        qv = ray.get(qref)
+        qv = ray.get(q_ref)
         ids, m = _batch_matrix(t)
+        # within-batch dedupe first (a vector can sit in several probed
+        # tables) so duplicates can't crowd a distinct row out of the
+        # batch's partial top-k
+        _, first_idx = np.unique(ids, return_index=True)
+        ids, m = ids[first_idx], m[first_idx]
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, m = ids[keep], m[keep]
         if len(ids) == 0:
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()),
@@ -220,14 +393,41 @@ def emb_knn_lsh(
         order = np.argsort(-sims, kind="stable")[:k]
         return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
 
-    parts = (
-        ds.map_batches(candidates, batch_format="pyarrow")
-        .map_batches(rerank, batch_format="pyarrow")
-        .to_pandas()
+    rows = cand.map_batches(rerank, batch_format="pyarrow").to_pandas()
+    if metrics_out is not None:
+        metrics_out["n_candidate_rows"] = int(cand.count())
+    if rows.empty:
+        return empty
+    out = (
+        rows.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+        .drop_duplicates("vec_id")
+        .head(k)
     )
-    out = parts.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
     out["cos_sim"] = out["cos_sim"].round(4)
     return out.reset_index(drop=True)
+
+
+def emb_knn_lsh(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    n_planes: int = 6, n_tables: int = 8,
+    metrics_out: dict | None = None,
+) -> pd.DataFrame:
+    """ANN top-k: multi-table random-hyperplane LSH candidate
+    generation over BUCKET-PARTITIONED PARQUET (built once per
+    (corpus, params), cached on source size+mtime_ns), exact cosine
+    re-rank of candidates. Query cost ∝ probed-partition rows."""
+    import os
+
+    index_dir = _ann_cache_dir(sf_dir, "lsh", [n_planes, n_tables, 1000])
+    if _read_meta(index_dir) is None:
+        _atomic_build(
+            index_dir,
+            lambda d: build_lsh_index(sf_dir, d, n_planes, n_tables),
+        )
+    q = _lookup_query_vec(sf_dir, query_vec_id)
+    return query_lsh_index(
+        index_dir, q, k, exclude_id=query_vec_id, metrics_out=metrics_out
+    )
 
 
 @ray.remote
@@ -476,58 +676,129 @@ class IVFIndex:
         return np.argmax(_normalize_rows(m) @ self.centroids.T, axis=1)
 
 
-def emb_knn_ivf(
-    sf_dir: str, query_vec_id: int = 0, k: int = 10,
-    n_centroids: int = 16, nprobe: int = 4,
-) -> pd.DataFrame:
-    """ANN top-k via IVF: train the coarse quantizer on a driver-side
-    sample, broadcast centroids, keep only rows whose centroid is among
-    the query's ``nprobe`` nearest lists, exact re-rank inside them.
-    Recall vs brute force is measured in tests."""
-    ds = _emb(sf_dir).materialize()
-
-    sample_ids, sample = next(
-        iter(
-            (ids, m)
-            for ids, m in (
-                _batch_matrix(t)
-                for t in ds.iter_batches(batch_size=4096, batch_format="pyarrow")
-            )
-        )
+def build_ivf_index(
+    sf_dir: str, index_dir: str,
+    n_centroids: int = 16, n_iter: int = 10, seed: int = 42,
+) -> str:
+    """Train the coarse quantizer on a bounded driver-side sample, then
+    write the embeddings as ``cent=C``-partitioned Parquet (each vector
+    in exactly one centroid list). Centroids persist in meta.json so a
+    query never retrains."""
+    ds = _emb(sf_dir)
+    sample = None
+    for t in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        _, sample = _batch_matrix(t)
+        break
+    assert sample is not None and len(sample), f"empty embeddings in {sf_dir}"
+    index = IVFIndex(n_centroids=n_centroids, n_iter=n_iter, seed=seed).train(
+        sample
     )
-    index = IVFIndex(n_centroids=n_centroids).train(sample)
+    cent_ref = ray.put(index.centroids)
 
-    q = None
-    for t in ds.iter_batches(batch_format="pyarrow"):
-        ids, m = _batch_matrix(t)
-        hit = np.nonzero(ids == query_vec_id)[0]
-        if hit.size:
-            q = m[hit[0]]
-            break
-    assert q is not None
-    qn = q / np.linalg.norm(q)
-    probe = np.argsort(-(qn @ index.centroids.T))[:nprobe]
-    ctx = ray.put((index.centroids, set(int(p) for p in probe), qn))
+    def assign_batch(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        _, m = _batch_matrix(t)
+        if len(m) == 0:
+            return t.append_column("cent", pa.array([], pa.int64()))
+        assign = np.argmax(_normalize_rows(m) @ cents.T, axis=1).astype(
+            np.int64
+        )
+        return t.append_column("cent", pa.array(assign))
 
-    def probe_and_rank(t: pa.Table) -> pa.Table:
-        cents, probed, qv = ray.get(ctx)
+    ds.map_batches(assign_batch, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cent"]
+    )
+    _write_meta(
+        index_dir,
+        {"kind": "ivf", "dim": int(sample.shape[1]),
+         "n_centroids": n_centroids,
+         "centroids": index.centroids.tolist()},
+    )
+    return index_dir
+
+
+def query_ivf_index(
+    index_dir: str, qvec: np.ndarray, k: int = 10, nprobe: int = 4,
+    exclude_id: int | None = None, metrics_out: dict | None = None,
+) -> pd.DataFrame:
+    """Top-k from a built IVF index: rank centroids against the query,
+    read ONLY the ``nprobe`` nearest ``cent=C`` partitions, exact-cosine
+    re-rank inside them."""
+    import os
+
+    meta = _read_meta(index_dir)
+    assert meta and meta["kind"] == "ivf", f"no IVF index at {index_dir}"
+    centroids = np.asarray(meta["centroids"], np.float64)
+    qn = qvec / np.linalg.norm(qvec)
+    probe = np.argsort(-(qn @ centroids.T))[:nprobe]
+    paths = [
+        p
+        for p in (f"{index_dir}/cent={int(c)}" for c in probe)
+        if os.path.isdir(p)
+    ]
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series(dtype="int64"),
+         "cos_sim": pd.Series(dtype="float64")}
+    )
+    if metrics_out is not None:
+        metrics_out.update(_probe_partition_stats(paths))
+        metrics_out["n_probed_partitions"] = len(paths)
+    files = _partition_files(paths)
+    if not files:
+        return empty
+    cand = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    q_ref = ray.put(qn)
+
+    def rerank(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
         ids, m = _batch_matrix(t)
-        mn = _normalize_rows(m)
-        assign = np.argmax(mn @ cents.T, axis=1)
-        keep = np.array([a in probed for a in assign]) & (ids != query_vec_id)
-        if not keep.any():
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, m = ids[keep], m[keep]
+        if len(ids) == 0:
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()),
                  "cos_sim": pa.array([], pa.float64())}
             )
-        sims = mn[keep] @ qv
+        sims = _normalize_rows(m) @ qv
         order = np.argsort(-sims, kind="stable")[:k]
-        return pa.table({"vec_id": ids[keep][order], "cos_sim": sims[order]})
+        return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
 
-    parts = ds.map_batches(probe_and_rank, batch_format="pyarrow").to_pandas()
-    out = parts.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    rows = cand.map_batches(rerank, batch_format="pyarrow").to_pandas()
+    if metrics_out is not None:
+        metrics_out["n_candidate_rows"] = int(cand.count())
+    if rows.empty:
+        return empty
+    out = (
+        rows.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+        .head(k)
+    )
     out["cos_sim"] = out["cos_sim"].round(4)
     return out.reset_index(drop=True)
+
+
+def emb_knn_ivf(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+    metrics_out: dict | None = None,
+) -> pd.DataFrame:
+    """ANN top-k via IVF over CENTROID-PARTITIONED PARQUET (built once
+    per (corpus, params), cached on source size+mtime_ns): rank
+    centroids, read only the ``nprobe`` probed partitions, exact re-rank
+    inside them. Query cost ∝ probed-partition rows. Recall vs brute
+    force is measured in tests."""
+    import os
+
+    index_dir = _ann_cache_dir(sf_dir, "ivf", [n_centroids, 10, 42])
+    if _read_meta(index_dir) is None:
+        _atomic_build(
+            index_dir, lambda d: build_ivf_index(sf_dir, d, n_centroids)
+        )
+    q = _lookup_query_vec(sf_dir, query_vec_id)
+    return query_ivf_index(
+        index_dir, q, k, nprobe=nprobe, exclude_id=query_vec_id,
+        metrics_out=metrics_out,
+    )
 
 
 def emb_centroid_by_lang(sf_dir: str) -> pd.DataFrame:

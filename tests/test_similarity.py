@@ -188,3 +188,93 @@ def test_neardup_pairs_multi_group(tmp_path):
     sims = (vecs / norms) @ (vecs / norms).T
     n_truth = int((np.triu(sims, k=1) >= 0.9).sum())
     assert len(got) == n_truth
+
+
+def _write_clustered_emb(tmp_path, n=1200, dim=16, n_clusters=6, seed=3):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.concatenate(
+        [c + 0.15 * rng.normal(size=(n // n_clusters, dim)) for c in centers]
+    )
+    pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": list(vecs.astype(np.float32))}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    return vecs
+
+
+def test_lsh_partitioned_index_reads_scale_with_probes(tmp_path):
+    """The LSH scale path must read only the query's probed
+    table=T/bucket=B partitions: candidate rows and bytes read are a
+    strict fraction of the corpus/index, and the returned sims are the
+    exact cosines."""
+    import numpy as np
+
+    from cloud_dedup_ray.pipelines.similarity import (
+        _ann_cache_dir,
+        _probe_partition_stats,
+        emb_knn_lsh,
+    )
+
+    vecs = _write_clustered_emb(tmp_path)
+    m = {}
+    got = emb_knn_lsh(
+        str(tmp_path), query_vec_id=5, k=10, n_planes=6, n_tables=3,
+        metrics_out=m,
+    )
+    assert len(got) == 10
+    assert 0 < m["n_candidate_rows"] < len(vecs), m
+    idx = _ann_cache_dir(str(tmp_path), "lsh", [6, 3, 1000])
+    whole_index = _probe_partition_stats([idx])["n_probed_bytes"]
+    assert 0 < m["n_probed_bytes"] < whole_index, m
+    assert 1 <= m["n_probed_partitions"] <= 3
+    # re-rank is exact: returned sims equal the true cosines
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    true = vn @ vn[5]
+    for vid, cs in zip(got["vec_id"], got["cos_sim"]):
+        assert abs(cs - true[vid]) < 5e-4
+    assert 5 not in set(got["vec_id"])
+
+
+def test_ivf_partitioned_index_reads_scale_with_probes(tmp_path):
+    """The IVF scale path must read only the nprobe nearest cent=C
+    partitions."""
+    import numpy as np
+
+    from cloud_dedup_ray.pipelines.similarity import emb_knn_ivf
+
+    vecs = _write_clustered_emb(tmp_path)
+    m = {}
+    got = emb_knn_ivf(
+        str(tmp_path), query_vec_id=5, k=10, n_centroids=8, nprobe=2,
+        metrics_out=m,
+    )
+    assert len(got) == 10
+    assert m["n_probed_partitions"] == 2
+    assert 0 < m["n_candidate_rows"] < len(vecs), m
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    true = vn @ vn[5]
+    for vid, cs in zip(got["vec_id"], got["cos_sim"]):
+        assert abs(cs - true[vid]) < 5e-4
+
+
+def test_lsh_index_cache_reused_and_invalidated(tmp_path):
+    """Second query must reuse the built index; touching the source
+    file must key a NEW index dir (no stale reuse)."""
+    import os
+    import time
+
+    from cloud_dedup_ray.pipelines.similarity import _ann_cache_dir
+
+    _write_clustered_emb(tmp_path)
+    d1 = _ann_cache_dir(str(tmp_path), "lsh", [6, 3, 1000])
+    src = tmp_path / "embeddings.parquet"
+    os.utime(src, ns=(time.time_ns(), time.time_ns()))
+    d2 = _ann_cache_dir(str(tmp_path), "lsh", [6, 3, 1000])
+    assert d1 != d2
+    # param change also re-keys
+    d3 = _ann_cache_dir(str(tmp_path), "lsh", [5, 3, 1000])
+    assert d3 != d2
