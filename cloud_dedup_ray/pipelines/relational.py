@@ -174,19 +174,20 @@ def events_hourly_windows(sf_dir: str) -> pd.DataFrame:
 
 
 def nations_per_region(sf_dir: str) -> pd.DataFrame:
-    """Broadcast join: 5-row region table shipped into the nation scan."""
-    region = {
-        r["r_regionkey"]: r["r_name"]
-        for r in _read(sf_dir, "region").take_all()
-    }
-    r_ref = ray.put(region)
+    """Broadcast join: 5-row region table shipped into the nation scan
+    as sorted (key, name) arrays, mapped with one searchsorted per batch
+    (the house vectorized-dim-join style)."""
+    rows = _read(sf_dir, "region").take_all()
+    keys = np.array([r["r_regionkey"] for r in rows], np.int64)
+    names = np.array([r["r_name"] for r in rows], object)
+    order = np.argsort(keys)
+    r_ref = ray.put((keys[order], names[order]))
     ds = _read(sf_dir, "nation", ["n_regionkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(r_ref)
-        return pa.table(
-            {"r_name": [m[k] for k in t["n_regionkey"].to_pylist()]}
-        )
+        ks, ns = ray.get(r_ref)
+        idx = np.searchsorted(ks, np.asarray(t["n_regionkey"], np.int64))
+        return pa.table({"r_name": pa.array(np.take(ns, idx))})
 
     out = (
         ds.map_batches(attach, batch_format="pyarrow")

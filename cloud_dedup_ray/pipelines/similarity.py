@@ -118,25 +118,22 @@ def emb_knn_batch(sf_dir: str, n_queries: int = 20, k: int = 5) -> pd.DataFrame:
         self_rows = qids_[pos] == ids
         sims[self_rows, pos[self_rows]] = -np.inf
         kk = min(k, sims.shape[0])
-        out_q, out_id, out_sim = [], [], []
-        for j in range(len(qids_)):
-            col = sims[:, j]
-            # tie-break by vec_id ASC inside the batch (argpartition has
-            # no ordering guarantee among equal sims and could drop the
-            # row the oracle's 'cos_sim DESC, vec_id' ranking keeps)
-            top = (
-                np.lexsort((ids, -col))[:kk]
-                if len(col) > kk
-                else np.arange(len(col))
-            )
-            out_q.append(np.full(len(top), qids_[j], np.int64))
-            out_id.append(ids[top])
-            out_sim.append(col[top])
+        # vectorized per-query top-k with 'cos_sim DESC, vec_id ASC'
+        # tie-break: pre-sort rows by vec_id once, then ONE stable
+        # column-wise argsort on -sims keeps ties in vec_id order
+        # (replacing a per-query lexsort loop)
+        row_order = np.argsort(ids, kind="stable")
+        ids_s = ids[row_order]
+        sims_s = sims[row_order]
+        top = np.argsort(-sims_s, axis=0, kind="stable")[:kk]
+        out_id = ids_s[top]                              # (kk, n_queries)
+        out_sim = np.take_along_axis(sims_s, top, axis=0)
+        out_q = np.broadcast_to(qids_, (kk, len(qids_)))
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_id)),
-                "sim": pa.array(np.concatenate(out_sim)),
+                "query_id": pa.array(out_q.T.reshape(-1)),
+                "vec_id": pa.array(out_id.T.reshape(-1)),
+                "sim": pa.array(out_sim.T.reshape(-1)),
             }
         )
 
