@@ -247,3 +247,74 @@ def test_same_label_dirs_both_scan(ray_session, tmp_path):
     rows = ds.take_all()
     assert sorted(r["path"] for r in rows) == ["one.txt", "two.txt"]
     assert {r["repo"] for r in rows} == {"Photos"}
+
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                           "report_snapshot.html")
+
+
+def _golden_fixture():
+    """Deterministic fixture at a FIXED path with pinned mtimes so the
+    rendered HTML is byte-stable: dup, diverged conflict, phantom-ish
+    same-mtime conflict, symlinks (same + diverged targets), uniques,
+    nested folders, three labels (exercises the all-services row)."""
+    import shutil
+
+    root = "/tmp/cdr_golden_fixture"
+    shutil.rmtree(root, ignore_errors=True)
+    a, b, c = f"{root}/A", f"{root}/B", f"{root}/C"
+    # identical everywhere → duplicate group + all-services count
+    for r in (a, b, c):
+        make_file(r, "docs/report.txt", b"same-content", mtime=1000)
+    # same (name, size), different content, different mtime → diverged
+    make_file(a, "src/app.py", b"version-1!", mtime=1000)
+    make_file(b, "src/app.py", b"version-2!", mtime=86400 * 2)
+    # same (name, size), different content, SAME mtime → phantom
+    make_file(a, "src/cfg.ini", b"AAAA", mtime=5000)
+    make_file(c, "src/cfg.ini", b"BBBB", mtime=5000)
+    # uniques + nested folder structure
+    make_file(a, "only/alpha.txt", b"ua", mtime=2000)
+    make_file(b, "docs/deep/nested/beta.txt", b"ub", mtime=3000)
+    # symlinks: same target vs diverged targets
+    os.symlink("/target/one", f"{a}/link_same")
+    os.symlink("/target/one", f"{b}/link_same")
+    os.symlink("/target/one", f"{a}/link_div")
+    os.symlink("/target/two", f"{b}/link_div")
+    return a, b, c
+
+
+def test_html_golden_snapshot():
+    """Byte-exact golden snapshot of the full rendered report over the
+    fixed fixture — locks section layout, badge grid, folder tree, CSS
+    and formatting (reference render parity,
+    /root/reference/src/cloud_duplicate_analyzer.py:823-1386). Update
+    intentionally with UPDATE_GOLDEN=1 python -m pytest
+    tests/test_cli_report.py::test_html_golden_snapshot."""
+    from cloud_dedup_ray.config import DedupConfig
+    from cloud_dedup_ray.pipelines.exact import analyze_corpus
+    from cloud_dedup_ray.sources.corpus import attach_content, scan_filesystem
+
+    a, b, c = _golden_fixture()
+    scanned, _ = scan_filesystem({"A": [a], "B": [b], "C": [c]},
+                                 skip_hidden=True)
+    res = analyze_corpus(attach_content(scanned), DedupConfig(mtime_fuzz=5))
+    result = res.to_result_dict()
+    result["mtime_fuzz"] = 5
+    result["generated_at"] = "2026-01-01 00:00"
+    result["dirs"] = {"A": [a], "B": [b], "C": [c]}
+    html = render_html(result)
+
+    if os.environ.get("UPDATE_GOLDEN"):
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        with open(GOLDEN_PATH, "w") as f:
+            f.write(html)
+    golden = open(GOLDEN_PATH).read()
+    if html != golden:
+        import difflib
+
+        diff = "\n".join(
+            list(difflib.unified_diff(golden.splitlines(),
+                                      html.splitlines(),
+                                      "golden", "rendered", lineterm=""))[:40]
+        )
+        raise AssertionError(f"rendered HTML diverged from golden:\n{diff}")
