@@ -623,17 +623,42 @@ def containment_edges(
 
 def _anchor_groups_arrays(
     anc: np.ndarray, ids: np.ndarray, cap: int
-) -> list[list[int]]:
+) -> dict[int, np.ndarray]:
     """Anchor-group kernel over ONE partition's (anchor, doc_id) rows:
-    member lists of size 2..cap per distinct anchor. Shared by the
-    Dataset and flat-exchange discovery forms (identical groups)."""
+    member groups of size 2..cap per distinct anchor, PACKED by size —
+    {size s: (k, s) int64 matrix of ascending member rows}. Shared by
+    the Dataset and flat-exchange discovery forms (identical groups).
+    The packed form is the driver-memory contract: groups never
+    materialize as Python tuples, only as int64 matrices."""
     order = np.lexsort((ids, anc))
-    out: list[list[int]] = []
+    by_size: dict[int, list[np.ndarray]] = {}
     for sl in coarse.group_slices(order, anc[order]):
         members = np.unique(ids[order[sl]])
         if 2 <= len(members) <= cap:
-            out.append(members.tolist())
-    return out
+            by_size.setdefault(len(members), []).append(members)
+    return {
+        s: np.unique(np.vstack(rows), axis=0) for s, rows in by_size.items()
+    }
+
+
+def _merge_group_mats(
+    parts: list[dict[int, np.ndarray]]
+) -> dict[int, np.ndarray]:
+    """Union of packed group dicts with global per-size dedup (the same
+    member set can arise from different anchors in different
+    partitions)."""
+    merged: dict[int, list[np.ndarray]] = {}
+    for p in parts:
+        for s, mat in p.items():
+            if len(mat):
+                merged.setdefault(s, []).append(mat)
+    return {
+        s: np.unique(np.vstack(mats), axis=0) for s, mats in merged.items()
+    }
+
+
+def _n_groups(groups: dict[int, np.ndarray]) -> int:
+    return sum(len(m) for m in groups.values())
 
 
 def _explode_anchor_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -649,16 +674,18 @@ def _containment_discover_groups(
     cfg: DedupConfig,
     metrics_out: dict | None = None,
     flat: bool = False,
-) -> list[tuple[int, ...]]:
+) -> dict[int, np.ndarray]:
     """Anchor-group discovery (the shuffle half of the containment
     pass): docs sharing a bottom-k shingle anchor, capped at
     ``bucket_pair_cap`` members. Independent of the LSH verify results,
     so ``cluster_corpus`` overlaps this shuffle with edge collection +
     verification; the cluster-representative pruning happens afterwards
-    on the driver (see ``_containment_verify``) with identical results —
-    a group of b ≤ cap members is at most ``cap`` ints, so shipping the
-    unpruned groups is cheap, and over-cap boilerplate anchors are
-    dropped by the cap either way.
+    on the driver (see ``_containment_verify``) with identical results.
+
+    Returns groups PACKED by size — {s: (k, s) int64 matrix of
+    ascending, deduped member rows}. The driver never holds groups as
+    Python tuples (8 B/int packed vs ~100 B/int boxed), the same
+    bounded-driver contract as the candidate-pair arrays.
 
     ``flat=True`` runs the same exchange as flat task waves over the
     materialized signed blocks (see ``_collect_edges_flat``)."""
@@ -681,15 +708,9 @@ def _containment_discover_groups(
             ids = np.concatenate([p[1] for p in parts])
             return _anchor_groups_arrays(anc, ids, cap)
 
-        groups = sorted(
-            {
-                tuple(g)
-                for part in _exchange_blocks(signed, _map, _reduce, P)
-                for g in part
-            }
-        )
+        groups = _merge_group_mats(_exchange_blocks(signed, _map, _reduce, P))
         if metrics_out is not None:
-            metrics_out["n_groups_raw"] = len(groups)
+            metrics_out["n_groups_raw"] = _n_groups(groups)
             metrics_out["sec_cont_groups"] = round(time.perf_counter() - t0, 3)
         return groups
 
@@ -712,20 +733,33 @@ def _containment_discover_groups(
             np.asarray(t["doc_id"], np.int64),
             cap,
         )
-        return pa.table({"ids": pa.array(out, pa.list_(pa.int64()))})
+        rows = [m for s in sorted(out) for m in out[s]]
+        return pa.table({"ids": pa.array(rows, pa.list_(pa.int64()))})
 
     _group_ids.__name__ = "anchor_group"
-    groups = sorted(
-        {
-            tuple(r["ids"])
-            for r in anchors.map_batches(_add_part, batch_format="pyarrow")
-            .groupby("__part")
-            .map_groups(_group_ids, batch_format="pyarrow")
-            .take_all()
-        }
-    )
+    # stream the group batches into packed per-size matrices — no
+    # take_all of Python row dicts; each batch's list column is split
+    # by length with vectorized gathers
+    parts: list[dict[int, np.ndarray]] = []
+    for bt in (
+        anchors.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_group_ids, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        col = bt["ids"].combine_chunks()
+        flat_ids = np.asarray(col.flatten(), np.int64)
+        lens = np.asarray(pa.compute.list_value_length(col), np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        packed: dict[int, np.ndarray] = {}
+        for s in np.unique(lens):
+            rows = np.flatnonzero(lens == s)
+            idx = offs[rows][:, None] + np.arange(s)
+            packed[int(s)] = flat_ids[idx]
+        parts.append(packed)
+    groups = _merge_group_mats(parts)
     if metrics_out is not None:
-        metrics_out["n_groups_raw"] = len(groups)
+        metrics_out["n_groups_raw"] = _n_groups(groups)
         metrics_out["sec_cont_groups"] = round(time.perf_counter() - t0, 3)
     return groups
 
@@ -752,20 +786,37 @@ def _containment_verify(
         pv = np.fromiter(precomp.values(), np.int64, len(precomp))
         o = np.argsort(pk)
         pk_s, pv_s = pk[o], pv[o]
-        pruned: list[tuple[int, ...]] = []
-        for g in groups:
-            members = np.asarray(g, np.int64)
-            idx = np.searchsorted(pk_s, members).clip(0, len(pk_s) - 1)
-            hit = pk_s[idx] == members
-            clusters = np.where(hit, pv_s[idx], members)
-            # min doc per cluster (members ascending → first hit wins)
-            _, first = np.unique(clusters, return_index=True)
-            reps = np.sort(members[first])
-            if len(reps) >= 2:
-                pruned.append(tuple(reps.tolist()))
-        groups = sorted(set(pruned))
-    cont_metrics["n_groups"] = len(groups)
-    if not groups:
+        # vectorized per size class: map members to their LSH cluster,
+        # keep the min member per cluster per row (rows are ascending,
+        # so a stable row-wise argsort by cluster puts it first), bucket
+        # the surviving representative rows by rep count
+        pruned_parts: list[dict[int, np.ndarray]] = []
+        for s, mat in groups.items():
+            if not len(mat):
+                continue
+            idx = np.searchsorted(pk_s, mat).clip(0, max(len(pk_s) - 1, 0))
+            hit = pk_s[idx] == mat if len(pk_s) else np.zeros(mat.shape, bool)
+            clusters = np.where(hit, pv_s[idx], mat)
+            o2 = np.argsort(clusters, axis=1, kind="stable")
+            cs = np.take_along_axis(clusters, o2, axis=1)
+            ms = np.take_along_axis(mat, o2, axis=1)
+            first = np.concatenate(
+                [np.ones((len(mat), 1), bool), cs[:, 1:] != cs[:, :-1]],
+                axis=1,
+            )
+            counts = first.sum(axis=1)
+            part: dict[int, np.ndarray] = {}
+            for r in np.unique(counts):
+                if r < 2:
+                    continue
+                rows = counts == r
+                reps = ms[rows][first[rows]].reshape(-1, int(r))
+                reps.sort(axis=1)
+                part[int(r)] = reps
+            pruned_parts.append(part)
+        groups = _merge_group_mats(pruned_parts)
+    cont_metrics["n_groups"] = _n_groups(groups)
+    if not cont_metrics["n_groups"]:
         if metrics_out is not None:
             metrics_out.update(cont_metrics)
         return []
@@ -777,7 +828,9 @@ def _containment_verify(
     # Jaccard |A|/|B| ≥ τ and is the LSH tier's responsibility (banding
     # collision ≥ 0.9998 at τ with 32×4), so only pairs whose shingle
     # counts differ by more than the threshold ratio are suffix-checked.
-    member_ids = np.fromiter(sorted({d for g in groups for d in g}), np.int64)
+    member_ids = np.unique(
+        np.concatenate([m.reshape(-1) for m in groups.values()])
+    )
     mem_ref = ray.put(member_ids)
 
     def _len_block(t: pa.Table, wanted: np.ndarray):
@@ -821,12 +874,8 @@ def _containment_verify(
         hit = nsh_keys[idx] == ids if len(nsh_keys) else np.zeros(len(ids), bool)
         return np.where(hit, nsh_vals[idx], 0)
 
-    by_size: dict[int, list[tuple[int, ...]]] = {}
-    for g in groups:
-        by_size.setdefault(len(g), []).append(g)
     xs_parts, ys_parts = [], []
-    for s, gs in by_size.items():
-        mat = np.asarray(gs, np.int64)  # (k, s)
+    for s, mat in groups.items():  # already packed (k, s) per size
         ii, jj = np.triu_indices(s, k=1)
         xs_parts.append(mat[:, ii].reshape(-1))
         ys_parts.append(mat[:, jj].reshape(-1))

@@ -318,7 +318,19 @@ def test_flat_exchange_matches_dataset_shuffle(small_corpus):
 
     g_flat = _containment_discover_groups(signed, cfg, flat=True)
     g_ds = _containment_discover_groups(signed, cfg, flat=False)
-    assert g_flat == g_ds and len(g_flat) > 0
+    assert set(g_flat) == set(g_ds) and len(g_flat) > 0
+    for s in g_flat:
+        assert np.array_equal(g_flat[s], g_ds[s])
+    # bounded-driver contract: groups arrive PACKED as int64 matrices
+    # (8 B/member), never as Python tuples — both discovery forms
+    for g in (g_flat, g_ds):
+        for s, mat in g.items():
+            assert isinstance(mat, np.ndarray)
+            assert mat.dtype == np.int64 and mat.ndim == 2
+            assert mat.shape[1] == s
+            # rows ascending and deduped (np.unique(axis=0) canonical)
+            assert (np.diff(mat, axis=1) > 0).all()
+            assert len(np.unique(mat, axis=0)) == len(mat)
 
 
 def test_distributed_estimate_matches_driver_path(small_corpus):
