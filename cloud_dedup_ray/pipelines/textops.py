@@ -488,3 +488,237 @@ def _exact_ngram_jaccard(
     for res in _routed_text_exchange(docs, needs, _score, chunks, col="text"):
         out.extend(res)
     return out
+
+
+#: RE2 patterns shared verbatim with the DuckDB oracle (both engines are
+#: RE2, so \s/\S and char classes behave identically)
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_pii(texts: pa.Array) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Mask URLs then emails (order matters: emails inside URLs are
+    already masked by the URL pass) — vectorized RE2 kernels. Returns
+    (scrubbed, n_urls, n_emails)."""
+    n_urls = pc.count_substring_regex(texts, URL_RE)
+    no_urls = pc.replace_substring_regex(texts, URL_RE, "<URL>")
+    n_emails = pc.count_substring_regex(no_urls, EMAIL_RE)
+    scrubbed = pc.replace_substring_regex(no_urls, EMAIL_RE, "<EMAIL>")
+    return scrubbed, n_urls, n_emails
+
+
+def docs_scrub_pii(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing (URL/email masking) over documents. The synthetic
+    corpus carries no PII, so the query INJECTS deterministic
+    doc_id-derived URL+email tokens before scrubbing — the oracle twin
+    injects identically, making the masking verification non-trivial
+    (an unscrubbed token fails the value hash). Stateless vectorized
+    map; at scale this is a pure streaming transform."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        idstr = pc.cast(t["doc_id"], pa.string())
+        injected = pc.binary_join_element_wise(
+            t["text"], " contact u", idstr, "@mail.example.com or ",
+            "https://docs.example.org/item/", idstr, "?ref=x done", "",
+        )
+        scrubbed, n_urls, n_emails = scrub_pii(injected)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_scrubbed": scrubbed,
+                "n_urls": pc.cast(n_urls, pa.int64()),
+                "n_emails": pc.cast(n_emails, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc over normalized
+    whitespace words: distinct-word ratio, duplicate-occurrence char
+    ratio, top-word frequency ratio. Stateless per-doc map, vectorized
+    with one lexsort over the exploded (doc, word) pairs per batch —
+    no per-row Python loop."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        norm = normalize(t["text"])
+        nonempty = np.asarray(pc.not_equal(norm, ""))
+        words_col = pc.split_pattern(norm, " ").combine_chunks()
+        lens = np.asarray(pc.list_value_length(words_col), np.int64)
+        lens = np.where(nonempty, lens, 0)  # '' splits to [''] — drop it
+        n_docs = len(lens)
+        flat = np.asarray(words_col.flatten(), dtype=object)
+        wchars = np.asarray(pc.utf8_length(words_col.flatten()), np.int64)
+        # rebuild doc index honoring the zeroed empty docs
+        raw_lens = np.asarray(pc.list_value_length(words_col), np.int64)
+        docidx = np.repeat(np.arange(n_docs), raw_lens)
+        keep = np.repeat(nonempty, raw_lens)
+        flat, wchars, docidx = flat[keep], wchars[keep], docidx[keep]
+        if len(flat):
+            order = np.lexsort((flat, docidx))
+            fs, ws, ds_ = flat[order], wchars[order], docidx[order]
+            new_doc = np.concatenate([[True], ds_[1:] != ds_[:-1]])
+            new_word = np.concatenate([[True], fs[1:] != fs[:-1]]) | new_doc
+            n_distinct = np.bincount(ds_[new_word], minlength=n_docs)
+            tot_chars = np.bincount(ds_, weights=ws, minlength=n_docs)
+            dis_chars = np.bincount(
+                ds_[new_word], weights=ws[new_word], minlength=n_docs
+            )
+            # run lengths of identical (doc, word) → top word per doc
+            bounds = np.flatnonzero(new_word)
+            run_len = np.diff(np.append(bounds, len(fs)))
+            top_cnt = np.zeros(n_docs, np.int64)
+            np.maximum.at(top_cnt, ds_[bounds], run_len)
+        else:  # batch of only empty/whitespace docs
+            n_distinct = np.zeros(n_docs, np.int64)
+            tot_chars = np.zeros(n_docs, np.float64)
+            dis_chars = np.zeros(n_docs, np.float64)
+            top_cnt = np.zeros(n_docs, np.int64)
+        n = lens.astype(np.float64)
+        safe_n = np.where(n > 0, n, 1.0)
+        safe_c = np.where(tot_chars > 0, tot_chars, 1.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(lens),
+                "distinct_word_ratio": np.round(
+                    np.where(n > 0, n_distinct / safe_n, 0.0), 6
+                ),
+                "dup_char_ratio": np.round(
+                    np.where(
+                        tot_chars > 0, (tot_chars - dis_chars) / safe_c, 0.0
+                    ),
+                    6,
+                ),
+                "top_word_ratio": np.round(
+                    np.where(n > 0, top_cnt / safe_n, 0.0), 6
+                ),
+            }
+        )
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_line_dedup(corpus_dir: str) -> pd.DataFrame:
+    """C4/RefinedWeb-style LINE dedup over the source-code corpus: every
+    non-empty line is kept only at its globally-first occurrence
+    (ordered by repo, path, commit, line_no — boilerplate headers and
+    license blocks collapse to one copy); empty lines always survive
+    (document structure). Two shuffles: groupby(line) marks winners,
+    groupby(file) reassembles. Empty lines never enter the line shuffle
+    (they would form one giant skewed group), they rejoin via union.
+    Output per file: line counts + sha256 of the deduped text (pins the
+    exact reassembly, not just counts)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(corpus_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t["is_symlink"], False), pc.is_valid(t["content"])
+        )
+        t = t.filter(mask)
+        lines_col = pc.split_pattern(t["content"], "\n").combine_chunks()
+        lens = np.asarray(pc.list_value_length(lines_col), np.int64)
+        rep = np.repeat(np.arange(len(lens)), lens)
+        line_no = np.arange(lens.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        return pa.table(
+            {
+                "repo": pc.take(t["repo"], pa.array(rep)),
+                "path": pc.take(t["path"], pa.array(rep)),
+                "commit": pc.take(t["commit"], pa.array(rep)),
+                "line_no": pa.array(line_no),
+                "line": lines_col.flatten(),
+            }
+        )
+
+    lines = ds.map_batches(explode, batch_format="pyarrow")
+    nonempty = lines.filter(expr="line != ''")
+    empties = lines.filter(expr="line == ''").map_batches(
+        lambda t: t.append_column("keep", pa.array(np.ones(t.num_rows, bool))),
+        batch_format="pyarrow",
+    )
+
+    # COARSE-partitioned shuffles (stages/coarse.py rationale): lines
+    # resp. files are near-unique keys, so a per-key map_groups would be
+    # group-overhead-bound (21k Python group calls at n=600 measured
+    # ~70 s). Both shuffles key on a 64-way deterministic hash partition
+    # (pd.util.hash_array: vectorized siphash with a fixed key — stable
+    # across worker processes) and each group call handles its whole
+    # partition vectorized.
+    P = 64
+
+    def _add_line_part(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.util.hash_array(df["line"].to_numpy(dtype=object)) % P
+        return df.assign(__part=part.astype(np.int64))
+
+    def _mark_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["line", "repo", "path", "commit", "line_no"], kind="stable"
+        )
+        keep = df["line"].ne(df["line"].shift()).to_numpy()
+        return df.assign(keep=keep).drop(columns="__part")
+
+    marked = (
+        nonempty.map_batches(_add_line_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(_mark_part, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+    def _add_file_part(df: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            df["repo"].astype(str)
+            + "\x1f" + df["path"].astype(str)
+            + "\x1f" + df["commit"].astype(str)
+        )
+        part = pd.util.hash_array(key.to_numpy(dtype=object)) % P
+        return df.assign(__fpart=part.astype(np.int64))
+
+    def _reassemble_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["repo", "path", "commit", "line_no"], kind="stable"
+        )
+        fkey = (
+            df["repo"].astype(str)
+            + "\x1f" + df["path"].astype(str)
+            + "\x1f" + df["commit"].astype(str)
+        ).to_numpy()
+        bounds = np.flatnonzero(
+            np.concatenate([[True], fkey[1:] != fkey[:-1]])
+        )
+        bounds = np.append(bounds, len(df))
+        lines_v = df["line"].to_numpy()
+        keep_v = df["keep"].to_numpy()
+        rows = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            kept = lines_v[lo:hi][keep_v[lo:hi]]
+            rows.append(
+                (
+                    df["repo"].iloc[lo], df["path"].iloc[lo],
+                    df["commit"].iloc[lo], hi - lo,
+                    int(keep_v[lo:hi].sum()),
+                    hashlib.sha256("\n".join(kept).encode()).hexdigest(),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["repo", "path", "commit", "n_lines", "n_kept",
+                     "dedup_sha256"],
+        )
+
+    out = (
+        marked.union(empties)
+        .map_batches(_add_file_part, batch_format="pandas")
+        .groupby("__fpart")
+        .map_groups(_reassemble_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["repo", "path", "commit"]).reset_index(drop=True)

@@ -1,0 +1,113 @@
+"""New training-data text operators: PII scrubbing, repetition
+signals, corpus line-level dedup (first-occurrence / C4-style).
+Oracle-grade checks live in scripts/check_correctness.py; these
+tests pin kernel edge cases and the brute-force semantics."""
+
+
+def test_scrub_pii_kernel():
+    import pyarrow as pa
+
+    from cloud_dedup_ray.pipelines.textops import scrub_pii
+
+    texts = pa.array(
+        [
+            "see https://a.example/x?y=1 or mail bob.smith+x@corp.example.org now",
+            "no pii here",
+            "",
+            "http://plain.example and u@d.io trailing",
+        ]
+    )
+    scrubbed, n_urls, n_emails = scrub_pii(texts)
+    assert scrubbed.to_pylist() == [
+        "see <URL> or mail <EMAIL> now",
+        "no pii here",
+        "",
+        "<URL> and <EMAIL> trailing",
+    ]
+    assert n_urls.to_pylist() == [1, 0, 0, 1]
+    assert n_emails.to_pylist() == [1, 0, 0, 1]
+
+
+def test_docs_repetition_stats_known_values(tmp_path):
+    import pandas as pd
+
+    from cloud_dedup_ray.pipelines.textops import docs_repetition_stats
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a a b",            # 3 words, 2 distinct, top 'a' x2
+                "x",                # singleton
+                "   ",              # normalizes to '' -> zero words
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = docs_repetition_stats(str(tmp_path))
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    assert r0["n_words"] == 3
+    assert r0["distinct_word_ratio"] == round(2 / 3, 6)
+    # chars: total 3 ('a','a','b'), distinct-first 2 -> dup ratio 1/3
+    assert r0["dup_char_ratio"] == round(1 / 3, 6)
+    assert r0["top_word_ratio"] == round(2 / 3, 6)
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert (
+        r1["n_words"], r1["distinct_word_ratio"], r1["dup_char_ratio"],
+        r1["top_word_ratio"],
+    ) == (1, 1.0, 0.0, 1.0)
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    assert (r2["n_words"], r2["distinct_word_ratio"]) == (0, 0.0)
+
+
+def test_corpus_line_dedup_first_occurrence(tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    from cloud_dedup_ray.pipelines.textops import corpus_line_dedup
+
+    files = [
+        # (repo, path, commit, content) — rA/a.py is globally first
+        ("rA", "a.py", "c1", "import os\n\ndef f():\n    return 1"),
+        ("rA", "b.py", "c1", "import os\n\ndef g():\n    return 1"),
+        ("rB", "a.py", "c1", "import os\n\ndef f():\n    return 1"),
+    ]
+    pd.DataFrame(
+        {
+            "repo": [f[0] for f in files],
+            "path": [f[1] for f in files],
+            "commit": [f[2] for f in files],
+            "lang": ["py"] * 3,
+            "content": [f[3] for f in files],
+            "size": [len(f[3]) for f in files],
+            "mtime": [1.0] * 3,
+            "is_symlink": [False] * 3,
+            "symlink_target": [None] * 3,
+        }
+    ).to_parquet(tmp_path / "c.parquet")
+    out = corpus_line_dedup(str(tmp_path))
+    assert len(out) == 3
+    # brute-force twin
+    seen: set[str] = set()
+    expect = {}
+    for repo, path, commit, content in sorted(files):
+        kept = []
+        lines = content.split("\n")
+        for ln in lines:
+            if ln == "" or ln not in seen:
+                kept.append(ln)
+                if ln != "":
+                    seen.add(ln)
+        expect[(repo, path, commit)] = (
+            len(lines), len(kept),
+            hashlib.sha256("\n".join(kept).encode()).hexdigest(),
+        )
+    for _, row in out.iterrows():
+        e = expect[(row["repo"], row["path"], row["commit"])]
+        assert (row["n_lines"], row["n_kept"], row["dedup_sha256"]) == e
+    # the duplicated 'import os' and 'return 1' lines survive once each:
+    # rA/a.py keeps everything, the others lose their shared lines
+    first = out[(out["repo"] == "rA") & (out["path"] == "a.py")].iloc[0]
+    assert first["n_kept"] == first["n_lines"]
+    other = out[(out["repo"] == "rB")].iloc[0]
+    assert other["n_kept"] < other["n_lines"]
