@@ -156,7 +156,11 @@ def run_bench() -> dict:
     # (bounded) until one does; the output flags contamination either way.
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "4"))
     max_extra = int(os.environ.get("GRAFT_BENCH_MAX_EXTRA", "3"))
-    probe_floor = float(os.environ.get("GRAFT_PROBE_FLOOR_GBPS", "2.5"))
+    # floor 1.0: catastrophic windows probe at 0.08-0.6 GB/s; after the
+    # containment screen moved off the driver, passes at 1-2.4 GB/s
+    # measure within noise of clean-window passes, so only truly
+    # degraded windows should invalidate
+    probe_floor = float(os.environ.get("GRAFT_PROBE_FLOOR_GBPS", "1.0"))
     probe_buf = _make_probe_buffer()
     runs: list[tuple] = []
     probes: list[float] = []  # min(bandwidth before, after) per pass
@@ -245,8 +249,10 @@ def run_bench() -> dict:
         "detail": {
             k: nd.metrics[k]
             for k in (
-                "sec_cont_fetch", "sec_cont_verify", "sec_verify_sig_fetch",
-                "sec_verify_estimate", "sec_verify_exact", "n_cont_pairs",
+                "sec_cont_fetch", "sec_cont_nsh", "sec_cont_pairx",
+                "sec_cont_sigfetch", "sec_cont_screen", "sec_cont_verify",
+                "sec_verify_sig_fetch", "sec_verify_estimate",
+                "sec_verify_exact", "n_cont_pairs",
                 "n_cont_pairs_screened", "n_docs_fetched", "n_candidates",
                 "n_exact_checked",
             )

@@ -237,22 +237,32 @@ def _estimate_pair_jaccard(
     takes a slow element-wise path (~30× slower than take on this
     workload), and chunking bounds the (pairs × num_perm) temporaries."""
     est = np.empty(len(a), np.float64)
-    hi = max(len(all_ids) - 1, 0)
-    idx_a = np.searchsorted(all_ids, a).clip(0, hi)
-    idx_b = np.searchsorted(all_ids, b).clip(0, hi)
     # ids absent from the signature matrix estimate as -1 (rejected) —
     # without the guard searchsorted's insertion point would score the
     # pair against an unrelated doc's signature (or np.take would raise
     # past the end). Mirrors the distributed twin's missing-id handling.
-    if len(all_ids):
-        found = (all_ids[idx_a] == a) & (all_ids[idx_b] == b)
-    else:
-        found = np.zeros(len(a), bool)
-    chunk = 1 << 17
+    if not len(all_ids):
+        est[:] = -1.0
+        return est
+    hi = len(all_ids) - 1
+    idx_a = np.searchsorted(all_ids, a).clip(0, hi)
+    idx_b = np.searchsorted(all_ids, b).clip(0, hi)
+    found = (all_ids[idx_a] == a) & (all_ids[idx_b] == b)
+    # small chunk + preallocated gather buffers: on this lazily-backed
+    # VM a fresh worker faults new pages at ~100 MB/s, so a 1<<17 chunk
+    # (2 × 134 MB of temporaries per iteration, fresh each time) cost
+    # seconds of fault time per task; a 16k chunk reusing the SAME
+    # buffers faults ~33 MB once and runs warm thereafter
+    chunk = 1 << 14
+    n_perm = all_sigs.shape[1]
+    k0 = min(chunk, len(a))
+    buf_a = np.empty((k0, n_perm), all_sigs.dtype)
+    buf_b = np.empty((k0, n_perm), all_sigs.dtype)
     for i in range(0, len(a), chunk):
-        sa = np.take(all_sigs, idx_a[i : i + chunk], axis=0)
-        sb = np.take(all_sigs, idx_b[i : i + chunk], axis=0)
-        est[i : i + chunk] = (sa == sb).mean(axis=1)
+        k = min(chunk, len(a) - i)
+        sa = np.take(all_sigs, idx_a[i : i + k], axis=0, out=buf_a[:k])
+        sb = np.take(all_sigs, idx_b[i : i + k], axis=0, out=buf_b[:k])
+        est[i : i + k] = (sa == sb).mean(axis=1)
     est[~found] = -1.0
     return est
 
@@ -764,6 +774,20 @@ def _containment_discover_groups(
     return groups
 
 
+@ray.remote
+def _screen_pairs_chunk(
+    sig: tuple[np.ndarray, np.ndarray],
+    a: np.ndarray,
+    b: np.ndarray,
+    cut: np.ndarray,
+) -> np.ndarray:
+    """Signature containment screen for one pair chunk: estimate the
+    Jaccard of each (a, b) pair from the broadcast signature matrix and
+    return the accept mask (est ≥ per-pair cut)."""
+    sig_ids, sig_mat = sig
+    return _estimate_pair_jaccard(sig_ids, sig_mat, a, b) >= cut
+
+
 def _containment_verify(
     corpus: ray.data.Dataset,
     signed: ray.data.Dataset,
@@ -845,6 +869,7 @@ def _containment_verify(
     if _is_materialized(signed):
         for ids_part, len_part in _scan_blocks(signed, _len_block, mem_ref):
             nsh.update(zip(ids_part.tolist(), len_part.tolist()))
+        cont_metrics["sec_cont_nsh"] = round(time.perf_counter() - t0, 3)
     else:
 
         def _len_filter(t: pa.Table) -> pa.Table:
@@ -874,6 +899,7 @@ def _containment_verify(
         hit = nsh_keys[idx] == ids if len(nsh_keys) else np.zeros(len(ids), bool)
         return np.where(hit, nsh_vals[idx], 0)
 
+    t_px = time.perf_counter()
     xs_parts, ys_parts = [], []
     for s, mat in groups.items():  # already packed (k, s) per size
         ii, jj = np.triu_indices(s, k=1)
@@ -893,6 +919,7 @@ def _containment_verify(
     else:
         pairs_arr = np.empty((0, 2), np.int64)
     cont_metrics["n_cont_pairs"] = len(pairs_arr)
+    cont_metrics["sec_cont_pairx"] = round(time.perf_counter() - t_px, 3)
     if not len(pairs_arr):
         if metrics_out is not None:
             metrics_out.update(cont_metrics)
@@ -924,11 +951,36 @@ def _containment_verify(
             )
             pairs_arr = np.unique(acc, axis=0) if len(acc) else acc
         else:
+            t_sf = time.perf_counter()
             sig_ids, sig_mat = _fetch_signatures(signed, pair_members)
-            est = _estimate_pair_jaccard(
-                sig_ids, sig_mat, pairs_arr[:, 0], pairs_arr[:, 1]
+            cont_metrics["sec_cont_sigfetch"] = round(
+                time.perf_counter() - t_sf, 3
             )
-            pairs_arr = pairs_arr[est >= cut]
+            # the estimate itself is ~1.5 s of single-thread numpy at
+            # ~200k pairs, but it runs while every core is busy with
+            # the overlapped tiers, so the DRIVER thread is CPU-starved
+            # (and pays first-touch faults on ~200 MB of temporaries:
+            # measured 13.5 s driver-side vs 1.5 s as a scheduled
+            # task). Chunked Ray tasks get real CPU slots and
+            # parallelize the screen.
+            sig_ref = ray.put((sig_ids, sig_mat))
+            C = 16384
+            masks = ray.get(
+                [
+                    _screen_pairs_chunk.remote(
+                        sig_ref,
+                        pairs_arr[i : i + C, 0],
+                        pairs_arr[i : i + C, 1],
+                        cut[i : i + C],
+                    )
+                    for i in range(0, len(pairs_arr), C)
+                ]
+            )
+            pairs_arr = pairs_arr[np.concatenate(masks)]
+            cont_metrics["sec_cont_screen"] = round(
+                time.perf_counter() - t_sf
+                - cont_metrics["sec_cont_sigfetch"], 3
+            )
         cont_metrics["n_cont_pairs_screened"] = len(pairs_arr)
         if not len(pairs_arr):
             if metrics_out is not None:
