@@ -488,3 +488,56 @@ def orders_running_totals(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Sequenced conversion funnel per user (view → click → purchase,
+    each step at-or-after the previous step's first occurrence) — the
+    order-sensitive aggregate product analytics pipelines run. ONE
+    co-partition shuffle: groupby(user_id), vectorized step logic per
+    group (same partitioning assumption as sessionize: one user's
+    events fit in one group). Output avoids NULL timestamps (driver
+    hash-compares values): funnel_depth counts completed steps."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"], value_set=pa.array(["view", "click", "purchase"])
+        )
+        return t.filter(m)
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy()
+        et = df["event_type"].to_numpy()
+        views = ts[et == "view"]
+        cols = ["user_id", "first_view", "funnel_depth"]
+        if not len(views):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "first_view": pd.Series([], dtype=ts.dtype),
+                 "funnel_depth": pd.Series([], dtype="int64")}
+            )[cols]
+        tv = views.min()
+        depth = 1
+        clicks = ts[(et == "click") & (ts >= tv)]
+        if len(clicks):
+            depth = 2
+            tc = clicks.min()
+            purchases = ts[(et == "purchase") & (ts >= tc)]
+            if len(purchases):
+                depth = 3
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "first_view": [tv],
+                "funnel_depth": [depth],
+            }
+        )[cols]
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

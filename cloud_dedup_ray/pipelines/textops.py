@@ -722,3 +722,179 @@ def corpus_line_dedup(corpus_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+
+
+def docs_dup_spans(sf_dir: str, win: int = 40, stride: int = 20) -> pd.DataFrame:
+    """Exact substring-duplication signal (the Lee et al. "Deduplicating
+    Training Data" shape at window granularity): every ``win``-char
+    window at ``stride`` offsets is duplicated iff the identical text
+    occurs in more than one distinct document anywhere in the corpus;
+    per doc, report the duplicated-window fraction. Two shuffles, both
+    COARSE hash-partitioned (stages/coarse.py rationale — windows are a
+    near-unique key): groupby(hash(win)) marks duplicates vectorized,
+    groupby(doc_id) aggregates the per-doc ratio. The explode loop is
+    over window OFFSETS (len/stride iterations, each a vectorized Arrow
+    slice over the whole batch), never over rows."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = np.asarray(pc.utf8_length(t["text"]), np.int64)
+        n_wins = np.where(n >= win, (n - win) // stride + 1, 0)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "win": pa.array([], pa.string())}
+        )
+        max_w = int(n_wins.max()) if len(n_wins) else 0
+        parts = []
+        for j in range(max_w):
+            mask = pa.array(n_wins > j)
+            sub = t.filter(mask)
+            off = j * stride
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "win": pc.utf8_slice_codeunits(sub["text"], off, off + win),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
+
+    P = 64
+
+    def _add_part(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.util.hash_array(df["win"].to_numpy(dtype=object)) % P
+        return df.assign(__part=part.astype(np.int64))
+
+    def _mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["win", "doc_id"], kind="stable")
+        w = df["win"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        new_win = np.concatenate([[True], w[1:] != w[:-1]])
+        new_pair = new_win | np.concatenate([[True], d[1:] != d[:-1]])
+        grp = np.cumsum(new_win) - 1
+        ndocs = np.bincount(grp[new_pair])
+        return pd.DataFrame(
+            {"doc_id": d, "dup": (ndocs[grp] > 1).astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(_add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(_mark, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_windows"),
+            Sum("dup", alias_name="n_dup_windows"),
+        )
+        .to_pandas()
+    )
+    out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+    out["dup_win_ratio"] = (out["n_dup_windows"] / out["n_windows"]).round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_ngram_df_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Top-k word trigrams by DOCUMENT frequency (boilerplate detection:
+    the n-grams shared by the most documents are the license headers /
+    navigation chrome a corpus pipeline wants to spot). Pre-aggregated:
+    each batch emits per-batch partial DF counts over its *distinct*
+    (doc, gram) pairs — docs never span batches, so within-batch
+    dedup is exact — then ONE small groupby(gram) sums partials and a
+    sort+limit takes the head. The shuffle carries grams × batches, not
+    grams × docs."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        norm = normalize(t["text"])
+        words_col = pc.split_pattern(norm, " ").combine_chunks()
+        raw_lens = np.asarray(pc.list_value_length(words_col), np.int64)
+        flat = np.asarray(words_col.flatten(), dtype=object)
+        docidx = np.repeat(np.arange(len(raw_lens)), raw_lens)
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()),
+             "df_partial": pa.array([], pa.int64())}
+        )
+        if len(flat) < 3:
+            return empty
+        same_doc = docidx[:-2] == docidx[2:]
+        if not same_doc.any():
+            return empty
+        grams = (
+            flat[:-2][same_doc] + " " + flat[1:-1][same_doc]
+            + " " + flat[2:][same_doc]
+        )
+        gdoc = docidx[:-2][same_doc]
+        order = np.lexsort((grams, gdoc))
+        gs, ds_ = grams[order], gdoc[order]
+        uniq = np.concatenate([[True], (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])])
+        vals, counts = np.unique(gs[uniq].astype(str), return_counts=True)
+        return pa.table(
+            {"gram": pa.array(vals), "df_partial": pa.array(counts, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df_partial", alias_name="df"))
+        .sort(["df", "gram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def docs_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language length quantiles via the VALUE-HISTOGRAM
+    pattern: the wide step is a tiny groupby((lang, n_chars)) count —
+    cardinality is languages × distinct lengths, independent of row
+    count — and the driver walks the cumulative histogram to the exact
+    ``quantile_disc`` indices (1-based ceil(p·n), verified against
+    DuckDB). This is how exact medians stay cheap at 100 TB: no sort of
+    the data, only of the distinct values."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    # exact rational quantiles so ceil(p*n) never drifts on float error
+    qs = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        n = int(cum[-1])
+        row = {"lang": lang}
+        for name, num, den in qs:
+            target = -(-num * n // den)  # ceil(num*n/den) in integers
+            row[name] = int(vals[np.searchsorted(cum, target)])
+        rows.append(row)
+    out = pd.DataFrame(rows, columns=["lang", "p25", "p50", "p75", "p90"])
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified downsampling (corpus rebalancing: keep
+    10% of the dominant 'en', 50% of everything else) on a Knuth
+    multiplicative hash of doc_id — stable across runs, batch sizes and
+    cluster layouts, no shuffle, no RNG state. Thresholds are integers
+    so the SQL twin is bit-identical."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    EN_T, OTHER_T = 429496729, 2147483648  # 10% / 50% of 2^32
+
+    def samp(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t["doc_id"], np.int64) * 2654435761) % 4294967296
+        thresh = np.where(np.asarray(pc.equal(t["lang"], "en")), EN_T, OTHER_T)
+        return t.filter(pa.array(h < thresh))
+
+    out = ds.map_batches(samp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
