@@ -898,3 +898,122 @@ def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(samp, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _lang_token_partials(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """Shared tokenizer for the vocabulary operators: normalized
+    whitespace tokens with their per-token language, empty tokens (from
+    blank docs) dropped. Returns (lang_per_token, token_array)."""
+    norm = normalize(t["text"])
+    words = pc.split_pattern(norm, " ").combine_chunks()
+    lens = np.asarray(pc.list_value_length(words), np.int64)
+    flat = words.flatten()
+    keep = np.asarray(pc.utf8_length(flat), np.int64) > 0
+    langs = np.repeat(np.asarray(t["lang"], dtype=object), lens)[keep]
+    return langs, flat.filter(pa.array(keep))
+
+
+def docs_distinct_tokens_by_lang(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-language vocabulary size + token volume. The classic
+    exact-distinct shape: each batch pre-aggregates its own distinct
+    (lang, token) counts (vocabulary repeats heavily, so the shuffle
+    carries distinct-pairs-per-batch, not every token), ONE
+    groupby((lang, token)) sums the partials, and the per-language
+    rollup runs over the already-tiny distinct-pair table. Compare
+    :func:`docs_hll_tokens_by_lang` for the sketch that answers the
+    same question in 2^p bytes per group."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, toks = _lang_token_partials(t)
+        if len(toks) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        g = (
+            pd.DataFrame({"lang": langs, "token": np.asarray(toks, dtype=object)})
+            .groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("cnt", alias_name="n_occ"))
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_distinct_tokens"),
+            Sum("n_occ", alias_name="n_tokens_total"),
+        )
+        .to_pandas()
+    )
+    out["n_distinct_tokens"] = out["n_distinct_tokens"].astype("int64")
+    out["n_tokens_total"] = out["n_tokens_total"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def docs_hll_tokens_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Approximate per-language vocabulary via a mergeable HyperLogLog:
+    each batch emits ONE 2^p-byte register row per language it saw
+    (registers folded vectorized from the segmented-polynomial token
+    hashes), and groupby(lang).map_groups merges with elementwise max.
+    At 100 TB the shuffle moves batches x languages x 2^p bytes —
+    independent of vocabulary size — where the exact twin above moves
+    the distinct vocabulary itself. Deterministic (fixed hash, max-merge
+    is order-free), so the pytest harness pins both the estimate error
+    vs the exact count and byte-identical reruns."""
+    from cloud_dedup_ray.functions.sketch import (
+        hash_strings_u64,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    m = 1 << p
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, toks = _lang_token_partials(t)
+        out_langs: list[str] = []
+        regs: list[bytes] = []
+        if len(toks):
+            hashes = hash_strings_u64(toks)
+            order = np.argsort(langs, kind="stable")
+            sl, sh = langs[order], hashes[order]
+            bounds = np.flatnonzero(
+                np.concatenate([[True], sl[1:] != sl[:-1]])
+            )
+            for i, b in enumerate(bounds):
+                e = bounds[i + 1] if i + 1 < len(bounds) else len(sl)
+                out_langs.append(sl[b])
+                regs.append(hll_registers(sh[b:e], p).tobytes())
+        return pa.table(
+            {
+                "lang": pa.array(out_langs, pa.string()),
+                "registers": pa.array(regs, pa.binary(m)),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        stack = np.frombuffer(
+            b"".join(df["registers"]), np.uint8
+        ).reshape(len(df), m)
+        est = hll_estimate(hll_merge(stack))
+        return pd.DataFrame(
+            {"lang": [df["lang"].iloc[0]], "n_distinct_hll": [int(round(est))]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_distinct_hll"] = out["n_distinct_hll"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)

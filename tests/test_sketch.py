@@ -1,0 +1,145 @@
+"""HyperLogLog sketch + vectorized segmented string hashing: the hash
+is pinned against a per-string pure-Python reference, HLL accuracy is
+checked across cardinality regimes (linear-counting and raw-estimate),
+merge is associativity/partition-shape-free, and the two vocabulary
+pipelines agree with each other and with a pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cloud_dedup_ray.functions.sketch import (
+    _BASE,
+    hash_strings_u64,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _ref_hash(s: str) -> int:
+    """Per-string reference of the segmented polynomial + splitmix64."""
+    data = s.encode()
+    h = 0
+    for i, c in enumerate(data):
+        h = (h + c * pow(_BASE, i, 1 << 64)) % (1 << 64)
+    h ^= len(data)
+    x = (h + 0x9E3779B97F4A7C15) % (1 << 64)
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+    return x ^ (x >> 31)
+
+
+def test_hash_strings_matches_reference():
+    strs = ["", "a", "ab", "ba", "hello world", "héllo", "日本語テキスト",
+            "x" * 300, "a\x01b", "\x01ab"]
+    got = hash_strings_u64(pa.array(strs))
+    want = np.array([_ref_hash(s) for s in strs], np.uint64)
+    np.testing.assert_array_equal(got, want)
+    # sliced / offset arrays hash identically to fresh ones
+    sliced = pa.array(["pad"] + strs).slice(1)
+    np.testing.assert_array_equal(hash_strings_u64(sliced), want)
+    # chunked input
+    chunked = pa.chunked_array([strs[:4], strs[4:]])
+    np.testing.assert_array_equal(hash_strings_u64(chunked), want)
+
+
+def test_hash_strings_null_and_empty():
+    got = hash_strings_u64(pa.array(["x", None, ""]))
+    assert got[1] == got[2] == _ref_hash("")
+    assert len(hash_strings_u64(pa.array([], pa.string()))) == 0
+
+
+def test_hash_strings_no_collisions_on_vocab():
+    # 200k distinct short strings → 64-bit collisions essentially
+    # impossible; any dupe here means the segmented arithmetic is wrong
+    vocab = pa.array([f"tok{i}" for i in range(200_000)])
+    h = hash_strings_u64(vocab)
+    assert len(np.unique(h)) == len(vocab)
+
+
+@pytest.mark.parametrize("true_n", [50, 1_000, 20_000, 200_000])
+def test_hll_accuracy(true_n):
+    h = hash_strings_u64(pa.array([f"item-{i}" for i in range(true_n)]))
+    est = hll_estimate(hll_registers(h, p=12))
+    # 1.04/sqrt(4096) ≈ 1.6% std error; 5x margin keeps this test
+    # deterministic-tight without being flaky on the fixed inputs
+    assert abs(est - true_n) / true_n < 0.08
+
+
+def test_hll_merge_partition_invariant():
+    h = hash_strings_u64(pa.array([f"w{i}" for i in range(30_000)]))
+    whole = hll_registers(h, p=12)
+    for n_parts in (2, 7, 64):
+        parts = np.array_split(h, n_parts)
+        merged = hll_merge(np.stack([hll_registers(x, p=12) for x in parts]))
+        np.testing.assert_array_equal(merged, whole)
+    # idempotent + duplicate-insensitive
+    np.testing.assert_array_equal(hll_merge(np.stack([whole, whole])), whole)
+    dup = hll_registers(np.concatenate([h, h]), p=12)
+    np.testing.assert_array_equal(dup, whole)
+
+
+def test_hll_empty():
+    reg = hll_registers(np.empty(0, np.uint64), p=12)
+    assert hll_estimate(reg) == 0.0
+
+
+def _write_vocab_corpus(tmp_path, n_docs=200, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = [f"word{i}" for i in range(3_000)]
+    rows = []
+    for d in range(n_docs):
+        lang = ["en", "de", "fr"][d % 3]
+        words = rng.choice(vocab, size=rng.integers(20, 120))
+        rows.append({"doc_id": d, "lang": lang, "text": " ".join(words)})
+    # edge cases: blank doc, whitespace-only doc, repeated-token doc
+    rows.append({"doc_id": n_docs, "lang": "en", "text": ""})
+    rows.append({"doc_id": n_docs + 1, "lang": "de", "text": "   "})
+    rows.append({"doc_id": n_docs + 2, "lang": "fr", "text": "Dup  dup\tDUP"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    return pd.DataFrame(rows)
+
+
+def test_distinct_tokens_by_lang_vs_pandas_oracle(ray_session, tmp_path):
+    from cloud_dedup_ray.pipelines.textops import docs_distinct_tokens_by_lang
+
+    df = _write_vocab_corpus(tmp_path)
+    out = docs_distinct_tokens_by_lang(str(tmp_path))
+
+    toks = (
+        df.assign(tok=df["text"].str.lower().str.split())
+        .explode("tok")
+        .dropna(subset=["tok"])
+    )
+    want = (
+        toks.groupby("lang")
+        .agg(n_distinct_tokens=("tok", "nunique"), n_tokens_total=("tok", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want.astype(
+        {"n_distinct_tokens": "int64", "n_tokens_total": "int64"}))
+    # the normalize edge cases: 'Dup dup DUP' is ONE distinct token x3
+    fr = out[out["lang"] == "fr"].iloc[0]
+    assert fr["n_tokens_total"] == want[want["lang"] == "fr"].iloc[0]["n_tokens_total"]
+
+
+def test_hll_pipeline_tracks_exact_and_is_deterministic(ray_session, tmp_path):
+    from cloud_dedup_ray.pipelines.textops import (
+        docs_distinct_tokens_by_lang,
+        docs_hll_tokens_by_lang,
+    )
+
+    _write_vocab_corpus(tmp_path)
+    exact = docs_distinct_tokens_by_lang(str(tmp_path))
+    hll = docs_hll_tokens_by_lang(str(tmp_path))
+    assert list(hll.columns) == ["lang", "n_distinct_hll"]
+    j = exact.merge(hll, on="lang")
+    rel = (j["n_distinct_hll"] - j["n_distinct_tokens"]).abs() / j[
+        "n_distinct_tokens"
+    ]
+    assert rel.max() < 0.08
+    assert docs_hll_tokens_by_lang(str(tmp_path)).equals(hll)
