@@ -119,3 +119,53 @@ def hll_estimate(reg: np.ndarray) -> float:
         if zeros:
             est = m * np.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcast membership screen for semi-/anti-joins.
+# Partial filters are plain uint64 word arrays, merged with bitwise OR —
+# associative/commutative/idempotent like the HLL registers above, so
+# they tree-reduce safely under any partitioning. Double hashing
+# (Kirsch & Mitzenmacher 2006): k probe positions from two 64-bit
+# hashes, no k independent hash functions needed.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SALT = _U64(0xA076_1D64_78BD_642F)  # decorrelates h2 from h1
+
+
+def _bloom_probes(hashes: np.ndarray, m_bits: int, k: int):
+    """Yield the k probe bit-positions for each hash (each an int64
+    array). m_bits must be a power of two."""
+    h1 = hashes.astype(_U64, copy=False)
+    h2 = splitmix64(h1 ^ _BLOOM_SALT) | _U64(1)  # odd → full-period stride
+    mask = _U64(m_bits - 1)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            yield ((h1 + _U64(i) * h2) & mask).astype(np.int64)
+
+
+def bloom_build(hashes: np.ndarray, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Fold 64-bit key hashes into a fresh bloom filter (uint64 word
+    array of m_bits/64 words). Size for ~10 bits/key at the expected
+    keyset for ~1% false positives."""
+    assert m_bits % 64 == 0 and (m_bits & (m_bits - 1)) == 0
+    words = np.zeros(m_bits // 64, _U64)
+    if hashes.size:
+        for pos in _bloom_probes(hashes, m_bits, k):
+            np.bitwise_or.at(words, pos >> 6, _U64(1) << (pos & 63).astype(_U64))
+    return words
+
+
+def bloom_merge(filters: np.ndarray) -> np.ndarray:
+    """OR-merge a (n, words) stack of partial filters."""
+    return np.bitwise_or.reduce(np.atleast_2d(filters))
+
+
+def bloom_contains(words: np.ndarray, hashes: np.ndarray, k: int = 4) -> np.ndarray:
+    """Vectorized membership test: True = possibly present (verify
+    exactly downstream), False = DEFINITELY absent."""
+    m_bits = words.size * 64
+    out = np.ones(hashes.shape, bool)
+    for pos in _bloom_probes(hashes, m_bits, k):
+        out &= (words[pos >> 6] >> (pos & 63).astype(_U64)) & _U64(1) != 0
+    return out

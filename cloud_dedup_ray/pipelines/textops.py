@@ -1017,3 +1017,123 @@ def docs_hll_tokens_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
     )
     out["n_distinct_hll"] = out["n_distinct_hll"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
+    """Incremental-corpus admission: which val/test ("new shard") docs
+    carry content NEVER seen in the train split? Exact answer, bloom-
+    accelerated — the canonical broadcast-screen anti-join:
+
+    1. one hashing pass tags every doc (side, md5 of normalized text);
+    2. the train side folds into per-batch bloom partials (uint64
+       words), OR-merged through a map_batches tree level before the
+       driver touches them — what crosses to the driver is fan-in-
+       reduced filter rows, never hashes;
+    3. the merged filter is ``ray.put`` ONCE and read by every screen
+       task: bloom-negative new docs are PROVABLY novel with zero
+       shuffle; only bloom-positive ones (true matches + ~m/n FP) enter
+       the exact groupby(content_hash) verify against the train hashes.
+
+    At 100 TB the shuffle carries train hashes + the screened sliver of
+    the new side instead of new x train; the filter is m_bits/8 bytes
+    broadcast once per node. Output is exact regardless of m_bits —
+    sizing only moves work between the free screen and the paid verify.
+    """
+    from cloud_dedup_ray.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+        hash_strings_u64,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        as_str = pc.cast(t["doc_id"], pa.string())
+        first = np.asarray(pc.utf8_slice_codeunits(md5_hex(as_str), 0, 1))
+        side = np.where(first < "c", "train", "new")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content_hash": md5_hex(normalize(t["text"])),
+                "side": pa.array(side),
+            }
+        )
+
+    tagged = ds.map_batches(hashed, batch_format="pyarrow").materialize()
+
+    n_words = m_bits // 64
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["side"], "train")
+        hashes = hash_strings_u64(t.filter(mask)["content_hash"])
+        words = bloom_build(np.unique(hashes), m_bits)
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary(8 * n_words))})
+
+    def bloom_combine(t: pa.Table) -> pa.Table:
+        stack = np.frombuffer(
+            b"".join(t["bloom"].to_pylist()), np.uint64
+        ).reshape(len(t), n_words)
+        return pa.table(
+            {"bloom": pa.array([bloom_merge(stack).tobytes()], pa.binary(8 * n_words))}
+        )
+
+    # one OR tree level (fan-in = batch_size) before the driver merge, so
+    # the driver sees n_batches/64 rows, not one filter per input block
+    partial_rows = (
+        tagged.map_batches(bloom_partial, batch_format="pyarrow")
+        .map_batches(bloom_combine, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    bloom = bloom_merge(
+        np.frombuffer(
+            b"".join(r["bloom"] for r in partial_rows), np.uint64
+        ).reshape(len(partial_rows), n_words)
+    )
+    bloom_ref = ray.put(bloom)
+
+    def screen_verify(t: pa.Table) -> pa.Table:
+        """Rows the exact shuffle must see: every train row + the
+        bloom-positive sliver of the new side."""
+        filt = ray.get(bloom_ref)
+        is_new = np.asarray(pc.equal(t["side"], "new"))
+        maybe = bloom_contains(filt, hash_strings_u64(t["content_hash"]))
+        return t.filter(pa.array(~is_new | maybe))
+
+    def screen_novel(t: pa.Table) -> pa.Table:
+        """Bloom-negative new rows: provably novel, no shuffle."""
+        filt = ray.get(bloom_ref)
+        is_new = np.asarray(pc.equal(t["side"], "new"))
+        maybe = bloom_contains(filt, hash_strings_u64(t["content_hash"]))
+        return t.filter(pa.array(is_new & ~maybe)).select(
+            ["doc_id", "content_hash"]
+        )
+
+    def judge(t: pa.Table) -> pa.Table:
+        """Group = one content_hash; its new rows are known iff any
+        train row shares the hash."""
+        is_train = np.asarray(pc.equal(t["side"], "train"))
+        keep = t.filter(pa.array(~is_train))
+        return pa.table(
+            {
+                "doc_id": pc.cast(keep["doc_id"], pa.int64()),
+                "content_hash": keep["content_hash"],
+                "is_novel": pa.array(
+                    np.full(len(keep), 0 if is_train.any() else 1, np.int64)
+                ),
+            }
+        )
+
+    verified = (
+        tagged.map_batches(screen_verify, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(judge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    novel_neg = (
+        tagged.map_batches(screen_novel, batch_format="pyarrow").to_pandas()
+    )
+    novel_neg["is_novel"] = np.int64(1)
+    novel_neg["doc_id"] = novel_neg["doc_id"].astype("int64")
+    out = pd.concat([verified, novel_neg], ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)

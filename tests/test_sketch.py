@@ -143,3 +143,67 @@ def test_hll_pipeline_tracks_exact_and_is_deterministic(ray_session, tmp_path):
     ]
     assert rel.max() < 0.08
     assert docs_hll_tokens_by_lang(str(tmp_path)).equals(hll)
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from cloud_dedup_ray.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    keys = hash_strings_u64(pa.array([f"k{i}" for i in range(20_000)]))
+    others = hash_strings_u64(pa.array([f"x{i}" for i in range(20_000)]))
+    filt = bloom_build(keys, m_bits=1 << 18, k=4)  # ~13 bits/key
+    assert bloom_contains(filt, keys).all()  # zero false negatives, always
+    fp = bloom_contains(filt, others).mean()
+    assert fp < 0.02  # theory ~0.2% at 13 bits/key; generous margin
+    # OR-merge of partials == single-pass build
+    parts = np.array_split(keys, 5)
+    merged = bloom_merge(np.stack([bloom_build(x, 1 << 18) for x in parts]))
+    np.testing.assert_array_equal(merged, filt)
+
+
+def _write_novelty_corpus(tmp_path):
+    """Corpus with planted cross-split duplicates. Side is derived from
+    md5(str(doc_id)) first hex digit (< 'c' → train), same rule as
+    docs_train_split."""
+    import hashlib
+
+    side = lambda d: "train" if hashlib.md5(str(d).encode()).hexdigest()[0] < "c" else "new"
+    train_ids = [d for d in range(400) if side(d) == "train"]
+    new_ids = [d for d in range(400) if side(d) == "new"]
+    assert len(train_ids) > 20 and len(new_ids) > 20
+    texts = {}
+    for i, d in enumerate(train_ids):
+        texts[d] = f"train document number {i} with shared words"
+    expected = {}
+    for i, d in enumerate(new_ids):
+        if i % 3 == 0:  # exact copy of a train doc → known
+            texts[d] = texts[train_ids[i % len(train_ids)]]
+            expected[d] = 0
+        elif i % 3 == 1:  # case/whitespace variant → same normalized hash
+            texts[d] = texts[train_ids[i % len(train_ids)]].upper() + "  "
+            expected[d] = 0
+        else:  # genuinely novel
+            texts[d] = f"completely new content {i} never seen"
+            expected[d] = 1
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    return expected
+
+
+@pytest.mark.parametrize("m_bits", [1 << 10, 1 << 20])
+def test_docs_novel_vs_train_exact_even_with_tiny_bloom(
+    ray_session, tmp_path, m_bits
+):
+    """m_bits = 2^10 forces heavy bloom false positives; the answer
+    must stay exact because FPs only route rows into the exact verify."""
+    from cloud_dedup_ray.pipelines.textops import docs_novel_vs_train
+
+    expected = _write_novelty_corpus(tmp_path)
+    out = docs_novel_vs_train(str(tmp_path), m_bits=m_bits)
+    assert len(out) == len(expected)
+    got = dict(zip(out["doc_id"], out["is_novel"]))
+    assert got == expected
