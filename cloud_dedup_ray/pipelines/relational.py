@@ -541,3 +541,67 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_user_stats_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users + volume per event type in one shuffle
+    family: each batch pre-aggregates its distinct (event_type,
+    user_id) pairs (with partial event counts and value sums packed as
+    one int64 sort key per pair — fully vectorized, no pandas groupby
+    in the hot path), ONE groupby((type, user)) sums the partials, and
+    the per-type rollup runs over the distinct-pair table. The exact
+    twin of the HLL pattern in ``textops.docs_hll_tokens_by_lang``:
+    here distinct cardinality is users (bounded), so exact stays cheap
+    at 100 TB."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "user_id": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64()),
+                 "vsum": pa.array([], pa.float64())}
+            )
+        types = np.asarray(t["event_type"], dtype=object)
+        users = np.asarray(t["user_id"], np.int64)
+        vals = np.asarray(t["value"], np.float64)
+        # factorize event_type (few distinct), pack (type_code, user)
+        # into one int64 so the dedup sort is a single integer argsort
+        codes, uniq_types = pd.factorize(types, sort=False)
+        key = codes.astype(np.int64) * (users.max() + 1) + users
+        order = np.argsort(key, kind="stable")
+        k_s, v_s = key[order], vals[order]
+        starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
+        cnt = np.diff(np.append(starts, len(k_s)))
+        csum = np.concatenate([[0.0], np.cumsum(v_s)])
+        bounds = np.append(starts, len(k_s))
+        vsum = csum[bounds[1:]] - csum[bounds[:-1]]
+        ks = k_s[starts]
+        return pa.table(
+            {
+                "event_type": pa.array(uniq_types[(ks // (users.max() + 1))]),
+                "user_id": pa.array(ks % (users.max() + 1), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "vsum": pa.array(vsum, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cnt", alias_name="n"), Sum("vsum", alias_name="v"))
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_users"),
+            Sum("n", alias_name="n_events"),
+            Sum("v", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
