@@ -52,11 +52,22 @@ def hash_strings_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     data = np.frombuffer(bufs[2], dtype=np.uint8, count=hi - lo, offset=lo)
     starts = (starts - lo).astype(np.int64)
     ends = (ends - lo).astype(np.int64)
+    return hash_byte_segments_u64(data, starts, ends)
+
+
+def hash_byte_segments_u64(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """Hash arbitrary [start, end) segments of a flat uint8 buffer —
+    the shared kernel behind :func:`hash_strings_u64` (segments =
+    string offsets) and the CDC chunk hasher (segments = content-
+    defined chunk boundaries). One O(total bytes) prefix scan serves
+    every segment."""
     if data.size == 0:
-        h = np.zeros(n, _U64)
+        h = np.zeros(len(starts), _U64)
     else:
         # powers B^i and inverse powers B^-i, both wrapping mod 2^64
-        # (one extra slot: a trailing empty string has start == data.size)
+        # (one extra slot: a trailing empty segment has start == data.size)
         with np.errstate(over="ignore"):
             pows = np.empty(data.size + 1, _U64)
             pows[0] = 1

@@ -1137,3 +1137,91 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
     novel_neg["doc_id"] = novel_neg["doc_id"].astype("int64")
     out = pd.concat([verified, novel_neg], ignore_index=True)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_cdc_dedup(
+    sf_dir: str,
+    min_size: int = 256,
+    avg_bits: int = 10,
+    max_size: int = 4096,
+) -> pd.DataFrame:
+    """Storage-style corpus dedup ratio via content-defined chunking:
+    how many bytes would a chunk store hold for this corpus? Each batch
+    gear-chunks its documents' UTF-8 bytes (vectorized rolling hash
+    over the flat Arrow buffer, boundaries follow content so shared
+    SPANS dedup even when documents differ elsewhere), hashes chunks
+    with the shared segment kernel, and pre-aggregates per-batch
+    distinct chunk counts; ONE groupby(chunk_hash) merges, and the
+    per-corpus rollup is a driver-side fold of four scalars. Output is
+    a single summary row — exact for the fixed chunk parameters,
+    verified by the pure-Python chunker oracle in pytest."""
+    from cloud_dedup_ray.functions.cdc import cdc_chunks
+    from cloud_dedup_ray.functions.sketch import hash_byte_segments_u64
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks().cast(pa.large_string())
+        n = len(arr)
+        empty = pa.table(
+            {"chunk_hash": pa.array([], pa.int64()),
+             "length": pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], np.int64, count=n + 1,
+                                offset=8 * arr.offset)
+        lo = int(offsets[0])
+        data = np.frombuffer(bufs[2], np.uint8, count=int(offsets[-1]) - lo,
+                             offset=lo)
+        doc_starts = (offsets[:-1] - lo).astype(np.int64)
+        doc_ends = (offsets[1:] - lo).astype(np.int64)
+        cs, ce, _ = cdc_chunks(data, doc_starts, doc_ends,
+                               min_size, avg_bits, max_size)
+        if len(cs) == 0:
+            return empty
+        h = hash_byte_segments_u64(data, cs, ce).view(np.int64)
+        lens = ce - cs
+        order = np.argsort(h, kind="stable")
+        hs, ls = h[order], lens[order]
+        starts = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
+        cnt = np.diff(np.append(starts, len(hs)))
+        return pa.table(
+            {"chunk_hash": pa.array(hs[starts], pa.int64()),
+             "length": pa.array(ls[starts], pa.int64()),
+             "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    distinct = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_hash")
+        .aggregate(Sum("cnt", alias_name="n_refs"), Min("length", alias_name="length"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        refs = np.asarray(t["n_refs"], np.int64)
+        lens = np.asarray(t["length"], np.int64)
+        return pa.table(
+            {"n_chunks": pa.array([int(refs.sum())], pa.int64()),
+             "n_unique_chunks": pa.array([len(refs)], pa.int64()),
+             "total_bytes": pa.array([int((refs * lens).sum())], pa.int64()),
+             "unique_bytes": pa.array([int(lens.sum())], pa.int64())}
+        )
+
+    parts = distinct.map_batches(rollup, batch_format="pyarrow").to_pandas()
+    row = parts.sum()
+    total = int(row["total_bytes"])
+    uniq = int(row["unique_bytes"])
+    return pd.DataFrame(
+        {
+            "n_chunks": [int(row["n_chunks"])],
+            "n_unique_chunks": [int(row["n_unique_chunks"])],
+            "total_bytes": [total],
+            "unique_bytes": [uniq],
+            "dedup_ratio": [round(uniq / total, 6) if total else 1.0],
+        }
+    )
