@@ -1225,3 +1225,76 @@ def docs_cdc_dedup(
             "dedup_ratio": [round(uniq / total, 6) if total else 1.0],
         }
     )
+
+
+def docs_uniform_sample_k(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic uniform sample of EXACTLY k documents (corpus
+    eval-set carving): rank by md5(doc_id) — stable across runs, batch
+    sizes and cluster layouts — and keep the k smallest. Distributed
+    top-k without a full sort: every batch keeps only its own k
+    smallest keys, so the final sort touches k x n_batches rows, not
+    the corpus."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        key = md5_hex(pc.cast(t["doc_id"], pa.string()))
+        keys = np.asarray(key, dtype=object)
+        if len(keys) > k:
+            keep = np.argsort(keys, kind="stable")[:k]
+            t = t.take(pa.array(keep))
+            key = key.take(pa.array(keep))
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "sample_key": key}
+        )
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .sort("sample_key")
+        .limit(k)
+        .to_pandas()
+    )
+    return out.sort_values("sample_key").reset_index(drop=True)
+
+
+def docs_top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-language heavy hitters: the k most frequent tokens per
+    language (tie broken to the lexicographically smaller token).
+    Same partial-count shape as the vocabulary ops — the shuffle
+    carries distinct (lang, token) pairs per batch — then the per-lang
+    top-k is a map_groups over the already-aggregated count table."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, toks = _lang_token_partials(t)
+        if len(toks) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        g = (
+            pd.DataFrame({"lang": langs, "token": np.asarray(toks, dtype=object)})
+            .groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["lang", "token", "n", "rank"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
