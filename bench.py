@@ -224,6 +224,20 @@ def run_bench() -> dict:
     emb_knn_bruteforce(sf_dir)
     queries["emb_knn_bruteforce"] = round(time.perf_counter() - t0, 3)
 
+    # --- sketch family: exact distinct shuffle + bloom-screened anti-join ---
+    from cloud_dedup_ray.pipelines.textops import (
+        docs_distinct_tokens_by_lang,
+        docs_novel_vs_train,
+    )
+
+    t0 = time.perf_counter()
+    docs_distinct_tokens_by_lang(sf_dir)
+    queries["docs_distinct_tokens_by_lang"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs_novel_vs_train(sf_dir)
+    queries["docs_novel_vs_train"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "end_to_end_dedup_sec",
         "value": round(headline, 3),
