@@ -605,3 +605,60 @@ def events_user_stats_by_type(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(4)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_sliding_windows(
+    sf_dir: str, slide_minutes: int = 15, window_minutes: int = 60
+) -> pd.DataFrame:
+    """Sliding-window aggregation (1 h windows advancing every 15 min):
+    each event replicates into window_minutes/slide_minutes overlapping
+    windows — a vectorized np explode inside the batch, NOT a join —
+    and the batch pre-aggregates per (window_start, event_type) before
+    the single groupby. Shuffle volume is windows-per-event x distinct
+    keys per batch, the streaming-engine shape for overlapping windows.
+    window_start is int64 epoch seconds (same convention as
+    ``events_hourly_windows``' integer bucket)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    slide_us = slide_minutes * 60 * 1_000_000
+    k = window_minutes // slide_minutes
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"window_start": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()),
+                 "vsum": pa.array([], pa.float64())}
+            )
+        us = np.asarray(pc.cast(t["ts"], pa.int64()), np.int64)
+        base = us // slide_us
+        starts = (
+            (base[None, :] - np.arange(k, dtype=np.int64)[:, None]).ravel()
+            * (slide_us // 1_000_000)
+        )
+        df = pd.DataFrame(
+            {
+                "window_start": starts,
+                "event_type": np.tile(np.asarray(t["event_type"], object), k),
+                "value": np.tile(np.asarray(t["value"], np.float64), k),
+            }
+        )
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            cnt=("value", "size"), vsum=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("cnt", alias_name="n_events"),
+            Sum("vsum", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
