@@ -870,3 +870,41 @@ def emb_centroid_by_lang(sf_dir: str) -> pd.DataFrame:
     out["centroid"] = (out["s"] / out["n_vectors"]).round(6)
     out = out.drop(columns=["s"])
     return out.sort_values(["lang", "dim"]).reset_index(drop=True)
+
+
+def emb_semantic_dedup(sf_dir: str, threshold: float = 0.38) -> pd.DataFrame:
+    """Semantic dedup assignment: connected components over the exact
+    cosine>=threshold pair graph (``emb_neardup_pairs``), every vector
+    labeled with its component's minimum vec_id as the representative
+    (singletons represent themselves). The pair list is the documented
+    driver boundary (16 B/pair); components use the shared
+    ``state.union_find.UnionFind`` — the distributed pointer-doubling
+    swap-in (``label_propagation_components``) takes over above the
+    same edge threshold as the text tier. Keep/drop policy downstream
+    is then one vectorized comparison: keep iff vec_id == rep_id."""
+    from cloud_dedup_ray.state.union_find import UnionFind
+
+    pairs = emb_neardup_pairs(sf_dir, threshold=threshold)
+    uf = UnionFind()
+    uf.add_edges(zip(pairs["vec_a"].to_numpy(), pairs["vec_b"].to_numpy()))
+    comp = uf.components()
+
+    ids_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+    comp_ref = ray.put(comp)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lookup = ray.get(comp_ref)
+        ids = np.asarray(t["vec_id"], np.int64)
+        reps = np.array([lookup.get(int(v), int(v)) for v in ids], np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "rep_id": pa.array(reps, pa.int64()),
+                "is_rep": pa.array((reps == ids).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ids_ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
