@@ -662,3 +662,93 @@ def events_sliding_windows(
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(4)
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def customers_without_big_orders(
+    sf_dir: str, min_total: float = 465000.0, m_bits: int = 1 << 20
+) -> pd.DataFrame:
+    """Exact anti-join with a FILTERED build side: customers that never
+    placed an order totaling >= min_total (~half of them at the default
+    threshold). The qualifying orders fold into one broadcast bloom
+    over splitmix64(o_custkey) (``stages.bloomjoin.build_bloom``);
+    bloom-NEGATIVE customers are provably in the answer and exit with
+    zero shuffle, and only the bloom-positive sliver (customers with a
+    big order + ~FP rate) enters the exact groupby verify against the
+    qualifying order keys. Same screened-anti-join primitive as
+    ``textops.docs_novel_vs_train``, int keys instead of content
+    hashes; the read is pruned to (o_custkey, o_totalprice) and the
+    filter runs inside the scan batches."""
+    from cloud_dedup_ray.functions.hashing import splitmix64
+    from cloud_dedup_ray.functions.sketch import bloom_contains
+    from cloud_dedup_ray.stages.bloomjoin import build_bloom
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big_keys(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["o_totalprice"], min_total))
+        return pa.table({"o_custkey": kept["o_custkey"]})
+
+    big = orders.map_batches(big_keys, batch_format="pyarrow").materialize()
+    bloom = build_bloom(
+        big, lambda t: splitmix64(np.asarray(t["o_custkey"], np.int64)), m_bits
+    )
+    bloom_ref = ray.put(bloom)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def screen_negative(t: pa.Table) -> pa.Table:
+        filt = ray.get(bloom_ref)
+        maybe = bloom_contains(
+            filt, splitmix64(np.asarray(t["c_custkey"], np.int64))
+        )
+        return t.filter(pa.array(~maybe))
+
+    def screen_positive(t: pa.Table) -> pa.Table:
+        filt = ray.get(bloom_ref)
+        maybe = bloom_contains(
+            filt, splitmix64(np.asarray(t["c_custkey"], np.int64))
+        )
+        kept = t.filter(pa.array(maybe))
+        return pa.table(
+            {"key": pc.cast(kept["c_custkey"], pa.int64()),
+             "c_name": kept["c_name"]}
+        )
+
+    def order_markers(t: pa.Table) -> pa.Table:
+        keys = np.unique(np.asarray(t["o_custkey"], np.int64))
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "c_name": pa.array([None] * len(keys), pa.string())}
+        )
+
+    def judge(t: pa.Table) -> pa.Table:
+        names = t["c_name"]
+        has_big_order = names.null_count > 0
+        cust_rows = t.filter(pc.is_valid(names))
+        if has_big_order or len(cust_rows) == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "c_name": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {"c_custkey": cust_rows["key"], "c_name": cust_rows["c_name"]}
+        )
+
+    verified = (
+        cust.map_batches(screen_positive, batch_format="pyarrow")
+        .union(big.map_batches(order_markers, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(judge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    negative = (
+        cust.map_batches(screen_negative, batch_format="pyarrow").to_pandas()
+    )
+    out = pd.concat([verified, negative], ignore_index=True)
+    # an empty concat loses column names; rebuild the typed frame
+    if out.empty:
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"),
+             "c_name": pd.Series([], dtype=object)}
+        )
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -1039,12 +1039,8 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
     broadcast once per node. Output is exact regardless of m_bits —
     sizing only moves work between the free screen and the paid verify.
     """
-    from cloud_dedup_ray.functions.sketch import (
-        bloom_build,
-        bloom_contains,
-        bloom_merge,
-        hash_strings_u64,
-    )
+    from cloud_dedup_ray.functions.sketch import bloom_contains, hash_strings_u64
+    from cloud_dedup_ray.stages.bloomjoin import build_bloom
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -1062,34 +1058,11 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
 
     tagged = ds.map_batches(hashed, batch_format="pyarrow").materialize()
 
-    n_words = m_bits // 64
-
-    def bloom_partial(t: pa.Table) -> pa.Table:
+    def train_hashes(t: pa.Table) -> np.ndarray:
         mask = pc.equal(t["side"], "train")
-        hashes = hash_strings_u64(t.filter(mask)["content_hash"])
-        words = bloom_build(np.unique(hashes), m_bits)
-        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary(8 * n_words))})
+        return hash_strings_u64(t.filter(mask)["content_hash"])
 
-    def bloom_combine(t: pa.Table) -> pa.Table:
-        stack = np.frombuffer(
-            b"".join(t["bloom"].to_pylist()), np.uint64
-        ).reshape(len(t), n_words)
-        return pa.table(
-            {"bloom": pa.array([bloom_merge(stack).tobytes()], pa.binary(8 * n_words))}
-        )
-
-    # one OR tree level (fan-in = batch_size) before the driver merge, so
-    # the driver sees n_batches/64 rows, not one filter per input block
-    partial_rows = (
-        tagged.map_batches(bloom_partial, batch_format="pyarrow")
-        .map_batches(bloom_combine, batch_format="pyarrow", batch_size=64)
-        .take_all()
-    )
-    bloom = bloom_merge(
-        np.frombuffer(
-            b"".join(r["bloom"] for r in partial_rows), np.uint64
-        ).reshape(len(partial_rows), n_words)
-    )
+    bloom = build_bloom(tagged, train_hashes, m_bits)
     bloom_ref = ray.put(bloom)
 
     def screen_verify(t: pa.Table) -> pa.Table:
