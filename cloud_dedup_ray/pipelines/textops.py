@@ -1271,3 +1271,69 @@ def docs_top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     )
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+def docs_prep_funnel(sf_dir: str, quality_threshold: float = 0.7) -> pd.DataFrame:
+    """The canonical corpus-prep pipeline as ONE flagship query —
+    language agreement gate → quality gate → exact dedup — reporting
+    the survivor count after each stage. Everything rides a single
+    map_batches pass and ONE shuffle: each batch emits its stage-count
+    partials as a sentinel row ('__counts__' cannot collide with an
+    md5 hex fingerprint) alongside its distinct surviving
+    fingerprints, so the groupby simultaneously sums the counts and
+    dedups the fingerprints. The DuckDB twin recomposes the published
+    lang-ID and quality oracle SQL as CTEs — stage semantics are
+    pinned to the same published kernels, not re-derived."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = np.asarray(lang_id(t["text"]), dtype=object)
+        q = np.asarray(quality_score(quality_features(t["text"])), np.float64)
+        lang_ok = lp == np.asarray(t["lang"], dtype=object)
+        qual_ok = lang_ok & (q >= quality_threshold)
+        fps = np.unique(
+            np.asarray(md5_hex(normalize(t["text"])), dtype=object)[qual_ok]
+        )
+        return pa.table(
+            {
+                "fingerprint": pa.array(
+                    np.concatenate([["__counts__"], fps]).astype(object),
+                    pa.string(),
+                ),
+                "n_total": pa.array(
+                    [len(t)] + [0] * len(fps), pa.int64()
+                ),
+                "n_lang": pa.array(
+                    [int(lang_ok.sum())] + [0] * len(fps), pa.int64()
+                ),
+                "n_qual": pa.array(
+                    [int(qual_ok.sum())] + [0] * len(fps), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_lang", alias_name="n_lang"),
+            Sum("n_qual", alias_name="n_qual"),
+        )
+        .to_pandas()
+    )
+    counts = agg[agg["fingerprint"] == "__counts__"].iloc[0]
+    n_dedup = int((agg["fingerprint"] != "__counts__").sum())
+    return pd.DataFrame(
+        {
+            "stage_idx": pd.array([0, 1, 2, 3], dtype="int64"),
+            "stage": ["total", "lang_match", "quality", "exact_dedup"],
+            "n_docs": pd.array(
+                [int(counts["n_total"]), int(counts["n_lang"]),
+                 int(counts["n_qual"]), n_dedup],
+                dtype="int64",
+            ),
+        }
+    )
