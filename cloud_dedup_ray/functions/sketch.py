@@ -66,21 +66,36 @@ def hash_byte_segments_u64(
     if data.size == 0:
         h = np.zeros(len(starts), _U64)
     else:
-        # powers B^i and inverse powers B^-i, both wrapping mod 2^64
-        # (one extra slot: a trailing empty segment has start == data.size)
+        # powers B^i as a full prefix scan; inverse powers B^-start only
+        # at the n_segments start positions via vectorized binary pow —
+        # transient memory is 16 B/input byte + 8 B/segment, not 24 B/byte
         with np.errstate(over="ignore"):
-            pows = np.empty(data.size + 1, _U64)
+            pows = np.empty(data.size, _U64)
             pows[0] = 1
-            np.cumprod(np.full(data.size, _BASE, _U64), out=pows[1:])
-            ipows = np.empty(data.size + 1, _U64)
-            ipows[0] = 1
-            np.cumprod(np.full(data.size, _BASE_INV, _U64), out=ipows[1:])
+            np.cumprod(np.full(data.size - 1, _BASE, _U64), out=pows[1:])
             prefix = np.zeros(data.size + 1, _U64)
-            np.cumsum(data.astype(_U64) * pows[:-1], out=prefix[1:])
+            np.cumsum(data.astype(_U64) * pows, out=prefix[1:])
             # sum_{i in [s,e)} c_i B^{i-s} = (P[e]-P[s]) * B^{-s}
-            h = (prefix[ends] - prefix[starts]) * ipows[starts]
+            h = (prefix[ends] - prefix[starts]) * _pow_u64(
+                _U64(_BASE_INV), starts.astype(np.uint64)
+            )
     h ^= (ends - starts).astype(_U64)
     return splitmix64(h)
+
+
+def _pow_u64(base: np.uint64, exps: np.ndarray) -> np.ndarray:
+    """Vectorized base**exps mod 2^64 (binary exponentiation over the
+    exponent array — O(len * log(max_exp)) multiplies)."""
+    out = np.ones(exps.shape, _U64)
+    b = _U64(base)
+    e = exps.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        while e.any():
+            odd = (e & _U64(1)) != 0
+            out[odd] *= b
+            b *= b
+            e >>= _U64(1)
+    return out
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:

@@ -566,22 +566,26 @@ def events_user_stats_by_type(sf_dir: str) -> pd.DataFrame:
         types = np.asarray(t["event_type"], dtype=object)
         users = np.asarray(t["user_id"], np.int64)
         vals = np.asarray(t["value"], np.float64)
-        # factorize event_type (few distinct), pack (type_code, user)
-        # into one int64 so the dedup sort is a single integer argsort
+        # factorize event_type (few distinct), then lexsort the
+        # (type_code, user_id) pair directly — no arithmetic packing,
+        # so arbitrary (hash-style or negative) int64 user ids can
+        # never overflow into wrong groups
         codes, uniq_types = pd.factorize(types, sort=False)
-        key = codes.astype(np.int64) * (users.max() + 1) + users
-        order = np.argsort(key, kind="stable")
-        k_s, v_s = key[order], vals[order]
-        starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
-        cnt = np.diff(np.append(starts, len(k_s)))
+        codes = codes.astype(np.int64)
+        order = np.lexsort((users, codes))
+        c_s, u_s, v_s = codes[order], users[order], vals[order]
+        new_grp = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        )
+        starts = np.flatnonzero(new_grp)
+        cnt = np.diff(np.append(starts, len(c_s)))
         csum = np.concatenate([[0.0], np.cumsum(v_s)])
-        bounds = np.append(starts, len(k_s))
+        bounds = np.append(starts, len(c_s))
         vsum = csum[bounds[1:]] - csum[bounds[:-1]]
-        ks = k_s[starts]
         return pa.table(
             {
-                "event_type": pa.array(uniq_types[(ks // (users.max() + 1))]),
-                "user_id": pa.array(ks % (users.max() + 1), pa.int64()),
+                "event_type": pa.array(uniq_types[c_s[starts]]),
+                "user_id": pa.array(u_s[starts], pa.int64()),
                 "cnt": pa.array(cnt, pa.int64()),
                 "vsum": pa.array(vsum, pa.float64()),
             }
@@ -695,22 +699,30 @@ def customers_without_big_orders(
     bloom_ref = ray.put(bloom)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
-    def screen_negative(t: pa.Table) -> pa.Table:
+    # ONE screen pass over customers: the verdict rides as a column on
+    # the (small) materialized result, so hashing + bloom probing run
+    # once per row, not once per downstream branch
+    def screen(t: pa.Table) -> pa.Table:
         filt = ray.get(bloom_ref)
         maybe = bloom_contains(
             filt, splitmix64(np.asarray(t["c_custkey"], np.int64))
         )
-        return t.filter(pa.array(~maybe))
-
-    def screen_positive(t: pa.Table) -> pa.Table:
-        filt = ray.get(bloom_ref)
-        maybe = bloom_contains(
-            filt, splitmix64(np.asarray(t["c_custkey"], np.int64))
-        )
-        kept = t.filter(pa.array(maybe))
         return pa.table(
-            {"key": pc.cast(kept["c_custkey"], pa.int64()),
-             "c_name": kept["c_name"]}
+            {"key": pc.cast(t["c_custkey"], pa.int64()),
+             "c_name": t["c_name"],
+             "maybe": pa.array(maybe)}
+        )
+
+    screened = cust.map_batches(screen, batch_format="pyarrow").materialize()
+
+    def take_positive(t: pa.Table) -> pa.Table:
+        kept = t.filter(t["maybe"])
+        return pa.table({"key": kept["key"], "c_name": kept["c_name"]})
+
+    def take_negative(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.invert(t["maybe"].combine_chunks()))
+        return pa.table(
+            {"c_custkey": kept["key"], "c_name": kept["c_name"]}
         )
 
     def order_markers(t: pa.Table) -> pa.Table:
@@ -734,14 +746,14 @@ def customers_without_big_orders(
         )
 
     verified = (
-        cust.map_batches(screen_positive, batch_format="pyarrow")
+        screened.map_batches(take_positive, batch_format="pyarrow")
         .union(big.map_batches(order_markers, batch_format="pyarrow"))
         .groupby("key")
         .map_groups(judge, batch_format="pyarrow")
         .to_pandas()
     )
     negative = (
-        cust.map_batches(screen_negative, batch_format="pyarrow").to_pandas()
+        screened.map_batches(take_negative, batch_format="pyarrow").to_pandas()
     )
     out = pd.concat([verified, negative], ignore_index=True)
     # an empty concat loses column names; rebuild the typed frame

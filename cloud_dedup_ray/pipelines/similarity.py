@@ -878,26 +878,49 @@ def emb_semantic_dedup(sf_dir: str, threshold: float = 0.38) -> pd.DataFrame:
     labeled with its component's minimum vec_id as the representative
     (singletons represent themselves). The pair list is the documented
     driver boundary (16 B/pair); components use the shared
-    ``state.union_find.UnionFind`` — the distributed pointer-doubling
-    swap-in (``label_propagation_components``) takes over above the
-    same edge threshold as the text tier. Keep/drop policy downstream
-    is then one vectorized comparison: keep iff vec_id == rep_id."""
-    from cloud_dedup_ray.state.union_find import UnionFind
+    ``state.union_find.UnionFind`` up to the same edge threshold as
+    the text tier, above which the distributed min-label-propagation
+    swap-in takes over (same node → min-id contract). Keep/drop policy
+    downstream is then one vectorized comparison: keep iff
+    vec_id == rep_id."""
+    from cloud_dedup_ray.config import DedupConfig
+    from cloud_dedup_ray.state.union_find import (
+        UnionFind,
+        label_propagation_components,
+    )
 
     pairs = emb_neardup_pairs(sf_dir, threshold=threshold)
-    uf = UnionFind()
-    uf.add_edges(zip(pairs["vec_a"].to_numpy(), pairs["vec_b"].to_numpy()))
-    comp = uf.components()
+    if len(pairs) > DedupConfig().distributed_components_threshold:
+        edges = ray.data.from_pandas(
+            pd.DataFrame(
+                {"a": pairs["vec_a"].to_numpy(np.int64),
+                 "b": pairs["vec_b"].to_numpy(np.int64)}
+            )
+        )
+        comp = label_propagation_components(edges)
+    else:
+        uf = UnionFind()
+        uf.add_edges(zip(pairs["vec_a"].to_numpy(), pairs["vec_b"].to_numpy()))
+        comp = uf.components()
 
     ids_ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
     )
-    comp_ref = ray.put(comp)
+    # broadcast the component map as two sorted arrays: the per-batch
+    # lookup is then one searchsorted, no Python-level dict probing
+    comp_keys = np.fromiter(comp.keys(), np.int64, len(comp))
+    comp_vals = np.fromiter(comp.values(), np.int64, len(comp))
+    order = np.argsort(comp_keys)
+    comp_ref = ray.put((comp_keys[order], comp_vals[order]))
 
     def assign(t: pa.Table) -> pa.Table:
-        lookup = ray.get(comp_ref)
+        keys, vals = ray.get(comp_ref)
         ids = np.asarray(t["vec_id"], np.int64)
-        reps = np.array([lookup.get(int(v), int(v)) for v in ids], np.int64)
+        reps = ids.copy()
+        if len(keys):
+            idx = np.searchsorted(keys, ids).clip(0, len(keys) - 1)
+            found = keys[idx] == ids
+            reps[found] = vals[idx[found]]
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),

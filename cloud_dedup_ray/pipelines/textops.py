@@ -913,6 +913,26 @@ def _lang_token_partials(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
     return langs, flat.filter(pa.array(keep))
 
 
+def _lang_token_count_partial(t: pa.Table) -> pa.Table:
+    """Per-batch distinct (lang, token) counts — the shared combiner
+    feeding both the exact-vocabulary rollup and the per-language
+    heavy-hitter ranking."""
+    langs, toks = _lang_token_partials(t)
+    if len(toks) == 0:
+        return pa.table(
+            {"lang": pa.array([], pa.string()),
+             "token": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    g = (
+        pd.DataFrame({"lang": langs, "token": np.asarray(toks, dtype=object)})
+        .groupby(["lang", "token"], sort=False)
+        .size()
+        .reset_index(name="cnt")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def docs_distinct_tokens_by_lang(sf_dir: str) -> pd.DataFrame:
     """EXACT per-language vocabulary size + token volume. The classic
     exact-distinct shape: each batch pre-aggregates its own distinct
@@ -924,26 +944,10 @@ def docs_distinct_tokens_by_lang(sf_dir: str) -> pd.DataFrame:
     same question in 2^p bytes per group."""
     ds = _docs(sf_dir, ["lang", "text"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        langs, toks = _lang_token_partials(t)
-        if len(toks) == 0:
-            return pa.table(
-                {"lang": pa.array([], pa.string()),
-                 "token": pa.array([], pa.string()),
-                 "cnt": pa.array([], pa.int64())}
-            )
-        g = (
-            pd.DataFrame({"lang": langs, "token": np.asarray(toks, dtype=object)})
-            .groupby(["lang", "token"], sort=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(_lang_token_count_partial, batch_format="pyarrow")
         .groupby(["lang", "token"])
         .aggregate(Sum("cnt", alias_name="n_occ"))
         .groupby("lang")
@@ -1065,19 +1069,28 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
     bloom = build_bloom(tagged, train_hashes, m_bits)
     bloom_ref = ray.put(bloom)
 
-    def screen_verify(t: pa.Table) -> pa.Table:
+    # ONE screen pass: the rehash + bloom probes run once per document;
+    # the verdict column on the materialized result feeds both branches
+    def screen(t: pa.Table) -> pa.Table:
+        filt = ray.get(bloom_ref)
+        maybe = bloom_contains(filt, hash_strings_u64(t["content_hash"]))
+        return t.append_column("maybe", pa.array(maybe))
+
+    screened = tagged.map_batches(screen, batch_format="pyarrow").materialize()
+
+    def take_verify(t: pa.Table) -> pa.Table:
         """Rows the exact shuffle must see: every train row + the
         bloom-positive sliver of the new side."""
-        filt = ray.get(bloom_ref)
         is_new = np.asarray(pc.equal(t["side"], "new"))
-        maybe = bloom_contains(filt, hash_strings_u64(t["content_hash"]))
-        return t.filter(pa.array(~is_new | maybe))
+        maybe = np.asarray(t["maybe"])
+        return t.filter(pa.array(~is_new | maybe)).select(
+            ["doc_id", "content_hash", "side"]
+        )
 
-    def screen_novel(t: pa.Table) -> pa.Table:
+    def take_novel(t: pa.Table) -> pa.Table:
         """Bloom-negative new rows: provably novel, no shuffle."""
-        filt = ray.get(bloom_ref)
         is_new = np.asarray(pc.equal(t["side"], "new"))
-        maybe = bloom_contains(filt, hash_strings_u64(t["content_hash"]))
+        maybe = np.asarray(t["maybe"])
         return t.filter(pa.array(is_new & ~maybe)).select(
             ["doc_id", "content_hash"]
         )
@@ -1098,13 +1111,13 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
         )
 
     verified = (
-        tagged.map_batches(screen_verify, batch_format="pyarrow")
+        screened.map_batches(take_verify, batch_format="pyarrow")
         .groupby("content_hash")
         .map_groups(judge, batch_format="pyarrow")
         .to_pandas()
     )
     novel_neg = (
-        tagged.map_batches(screen_novel, batch_format="pyarrow").to_pandas()
+        screened.map_batches(take_novel, batch_format="pyarrow").to_pandas()
     )
     novel_neg["is_novel"] = np.int64(1)
     novel_neg["doc_id"] = novel_neg["doc_id"].astype("int64")
@@ -1237,22 +1250,6 @@ def docs_top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     top-k is a map_groups over the already-aggregated count table."""
     ds = _docs(sf_dir, ["lang", "text"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        langs, toks = _lang_token_partials(t)
-        if len(toks) == 0:
-            return pa.table(
-                {"lang": pa.array([], pa.string()),
-                 "token": pa.array([], pa.string()),
-                 "cnt": pa.array([], pa.int64())}
-            )
-        g = (
-            pd.DataFrame({"lang": langs, "token": np.asarray(toks, dtype=object)})
-            .groupby(["lang", "token"], sort=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
     from ray.data.aggregate import Sum
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -1262,7 +1259,7 @@ def docs_top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
         return df[["lang", "token", "n", "rank"]]
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(_lang_token_count_partial, batch_format="pyarrow")
         .groupby(["lang", "token"])
         .aggregate(Sum("cnt", alias_name="n"))
         .groupby("lang")
@@ -1324,8 +1321,14 @@ def docs_prep_funnel(sf_dir: str, quality_threshold: float = 0.7) -> pd.DataFram
         )
         .to_pandas()
     )
-    counts = agg[agg["fingerprint"] == "__counts__"].iloc[0]
-    n_dedup = int((agg["fingerprint"] != "__counts__").sum())
+    if agg.empty or "fingerprint" not in agg.columns:
+        # empty corpus: no batches reached the groupby (an empty
+        # aggregate also loses its column names)
+        counts = {"n_total": 0, "n_lang": 0, "n_qual": 0}
+        n_dedup = 0
+    else:
+        counts = agg[agg["fingerprint"] == "__counts__"].iloc[0]
+        n_dedup = int((agg["fingerprint"] != "__counts__").sum())
     return pd.DataFrame(
         {
             "stage_idx": pd.array([0, 1, 2, 3], dtype="int64"),

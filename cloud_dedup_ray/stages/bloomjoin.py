@@ -10,7 +10,7 @@ the broadcast-small-side pattern (filter size is m_bits/8 bytes,
 independent of key count).
 
 Used by ``textops.docs_novel_vs_train`` (string content hashes) and
-``relational.customers_without_orders`` (splitmix64 int keys).
+``relational.customers_without_big_orders`` (splitmix64 int keys).
 """
 
 from __future__ import annotations

@@ -207,3 +207,33 @@ def test_docs_novel_vs_train_exact_even_with_tiny_bloom(
     assert len(out) == len(expected)
     got = dict(zip(out["doc_id"], out["is_novel"]))
     assert got == expected
+
+
+def test_events_user_stats_hash_style_ids(ray_session, tmp_path):
+    """Regression: 63-bit and negative user ids must group correctly
+    (the partial dedup lexsorts (type, user) — no arithmetic packing
+    that could wrap int64 and misattribute groups)."""
+    big = 0x7FFF_FFFF_FFFF_F000
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "b", "a", "b", "a", "a"],
+            "user_id": [big, big, big + 1, -5, -5, big],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "ts": pd.to_datetime(["2024-01-01"] * 6),
+            "event_id": range(6),
+            "props": [""] * 6,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    from cloud_dedup_ray.pipelines.relational import events_user_stats_by_type
+
+    out = events_user_stats_by_type(str(tmp_path))
+    want = (
+        df.groupby("event_type")
+        .agg(n_users=("user_id", "nunique"), n_events=("user_id", "size"),
+             sum_value=("value", "sum"))
+        .reset_index()
+    )
+    want["sum_value"] = want["sum_value"].round(4)
+    pd.testing.assert_frame_equal(
+        out, want.astype({"n_users": "int64", "n_events": "int64"}))
