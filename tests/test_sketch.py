@@ -237,3 +237,23 @@ def test_events_user_stats_hash_style_ids(ray_session, tmp_path):
     want["sum_value"] = want["sum_value"].round(4)
     pd.testing.assert_frame_equal(
         out, want.astype({"n_users": "int64", "n_events": "int64"}))
+
+
+def test_build_bloom_empty_dataset(ray_session):
+    """An empty build side yields an all-zeros filter: every probe is
+    bloom-negative, so the anti-join's screened path sees zero rows."""
+    import ray.data
+
+    from cloud_dedup_ray.functions.sketch import bloom_contains
+    from cloud_dedup_ray.stages.bloomjoin import build_bloom
+
+    ds = ray.data.from_arrow(
+        pa.table({"h": pa.array([], pa.int64())})
+    )
+    filt = build_bloom(
+        ds, lambda t: np.asarray(t["h"], np.int64).astype(np.uint64),
+        m_bits=1 << 12,
+    )
+    assert filt.sum() == 0
+    probes = np.arange(100, dtype=np.uint64)
+    assert not bloom_contains(filt, probes).any()
