@@ -764,3 +764,36 @@ def customers_without_big_orders(
         )
     out["c_custkey"] = out["c_custkey"].astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def orders_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Bounded rolling window (AVG OVER ... ROWS 2 PRECEDING twin):
+    per-customer moving average of the last ``window`` order totals in
+    (o_orderdate, o_orderkey) order. Same keyed map_groups shape as the
+    cumulative scan — per-key groups are small (orders per customer),
+    so the window never spans partitions; the kernel is one pandas
+    C-level rolling mean per group."""
+    ds = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"])
+        avg = (
+            df["o_totalprice"].rolling(window, min_periods=1).mean().to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "rolling_avg_spend": np.round(avg, 2),
+            }
+        )
+
+    out = (
+        ds.groupby("o_custkey")
+        .map_groups(rolling, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
