@@ -767,12 +767,14 @@ def customers_without_big_orders(
 
 
 def orders_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
-    """Bounded rolling window (AVG OVER ... ROWS 2 PRECEDING twin):
-    per-customer moving average of the last ``window`` order totals in
-    (o_orderdate, o_orderkey) order. Same keyed map_groups shape as the
-    cumulative scan — per-key groups are small (orders per customer),
-    so the window never spans partitions; the kernel is one pandas
-    C-level rolling mean per group."""
+    """Bounded rolling window (SUM OVER ... ROWS 2 PRECEDING twin):
+    per-customer moving total of the last ``window`` order amounts in
+    (o_orderdate, o_orderkey) order, carried as integer CENTS so the
+    window arithmetic is exact — float rolling means differ between a
+    sliding-sum kernel and a per-frame evaluation in the last ulp,
+    which flips rounded values on hash compare (observed at sf0.01).
+    Same keyed map_groups shape as the cumulative scan; per-key groups
+    are small, so the window never spans partitions."""
     ds = _read(
         sf_dir, "orders",
         ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
@@ -780,14 +782,16 @@ def orders_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
 
     def rolling(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["o_orderdate", "o_orderkey"])
-        avg = (
-            df["o_totalprice"].rolling(window, min_periods=1).mean().to_numpy()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        roll = (
+            pd.Series(cents).rolling(window, min_periods=1).sum()
+            .to_numpy().astype(np.int64)
         )
         return pd.DataFrame(
             {
                 "o_custkey": df["o_custkey"].to_numpy(),
                 "o_orderkey": df["o_orderkey"].to_numpy(),
-                "rolling_avg_spend": np.round(avg, 2),
+                "rolling_spend_cents": roll,
             }
         )
 
