@@ -123,3 +123,67 @@ def test_docs_cdc_dedup_planted_ratios(ray_session, tmp_path):
 
     # determinism
     assert docs_cdc_dedup(str(tmp_path)).equals(out)
+
+
+def test_docs_cdc_dedup_end_to_end_python_oracle(ray_session, tmp_path):
+    """Full-pipeline oracle: recompute the summary row with the
+    independent per-byte reference kernels (reference gear recurrence,
+    reference cut walker, per-string polynomial hash) and require the
+    distributed result to match EXACTLY — chunk counts, byte totals
+    and dedup ratio."""
+    from cloud_dedup_ray.functions.cdc import _GEAR
+    from cloud_dedup_ray.pipelines.textops import docs_cdc_dedup
+
+    rng = np.random.default_rng(23)
+    span = "".join(chr(c) for c in rng.integers(32, 127, 9000))
+    docs = []
+    for i in range(30):
+        pre = "".join(chr(c) for c in rng.integers(32, 127, rng.integers(0, 3000)))
+        docs.append(pre + (span if i % 2 else ""))
+    docs.append("")  # empty doc
+    pd.DataFrame({"doc_id": range(len(docs)), "text": docs}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = docs_cdc_dedup(str(tmp_path))
+
+    # independent reference: per-doc gear (window resets per doc differ
+    # from the flat-buffer pipeline ONLY in the first 63 bytes, which
+    # min_size=256 makes irrelevant) — so run the reference on the same
+    # concatenated buffer the pipeline sees
+    data = b"".join(d.encode() for d in docs)
+    bounds = np.cumsum([0] + [len(d.encode()) for d in docs])
+    h = 0
+    cands = []
+    for i, byte in enumerate(data):
+        h = ((h << 1) + int(_GEAR[byte])) % (1 << 64)
+        if h & 0x3FF == 0:
+            cands.append(i)
+    chunks = []
+    for d in range(len(docs)):
+        for s, e in _ref_cuts(int(bounds[d]), int(bounds[d + 1]), cands, 256, 4096):
+            chunks.append((s, e))
+
+    # chunk hash reference: same polynomial over raw bytes
+    def ref_bytes_hash(b: bytes) -> int:
+        hh = 0
+        for i, c in enumerate(b):
+            hh = (hh + c * pow(0x9E3779B97F4A7C15, i, 1 << 64)) % (1 << 64)
+        hh ^= len(b)
+        x = (hh + 0x9E3779B97F4A7C15) % (1 << 64)
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        return x ^ (x >> 31)
+
+    seen = {}
+    for s, e in chunks:
+        hh = ref_bytes_hash(data[s:e])
+        seen.setdefault(hh, []).append(e - s)
+    n_chunks = sum(len(v) for v in seen.values())
+    uniq_bytes = sum(v[0] for v in seen.values())
+    total_bytes = sum(sum(v) for v in seen.values())
+    row = out.iloc[0]
+    assert row["n_chunks"] == n_chunks
+    assert row["n_unique_chunks"] == len(seen)
+    assert row["total_bytes"] == total_bytes == len(data)
+    assert row["unique_bytes"] == uniq_bytes
+    assert row["dedup_ratio"] == round(uniq_bytes / total_bytes, 6)
