@@ -257,3 +257,39 @@ def test_build_bloom_empty_dataset(ray_session):
     assert filt.sum() == 0
     probes = np.arange(100, dtype=np.uint64)
     assert not bloom_contains(filt, probes).any()
+
+
+def test_hll_pipeline_end_to_end_python_oracle(ray_session, tmp_path):
+    """Full-pipeline oracle: recompute each language's HLL estimate
+    with an independent per-token pure-Python implementation (reference
+    string hash, per-hash register fold, float estimate) and require
+    the distributed answer to match EXACTLY — not within tolerance."""
+    import math
+
+    from cloud_dedup_ray.pipelines.textops import docs_hll_tokens_by_lang
+
+    df = _write_vocab_corpus(tmp_path, n_docs=120, seed=31)
+    out = docs_hll_tokens_by_lang(str(tmp_path))
+
+    p, m = 12, 1 << 12
+    regs: dict[str, list[int]] = {}
+    for _, row in df.iterrows():
+        toks = [t for t in row["text"].lower().split() if t]
+        r = regs.setdefault(row["lang"], [0] * m)
+        for t in toks:
+            h = _ref_hash(t)
+            idx = h >> (64 - p)
+            suffix = h & ((1 << (64 - p)) - 1)
+            rho = (64 - p) - suffix.bit_length() + 1
+            if rho > r[idx]:
+                r[idx] = rho
+    want = {}
+    for lang, r in regs.items():
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / sum(2.0 ** -x for x in r)
+        zeros = r.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        want[lang] = int(round(est))
+    got = dict(zip(out["lang"], out["n_distinct_hll"]))
+    assert got == want
