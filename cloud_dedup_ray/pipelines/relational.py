@@ -85,9 +85,25 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+def q3_top_revenue_orders(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
     """customer ⋈ orders ⋈ lineitem, BUILDING segment, top-10 revenue.
-    customer keys broadcast; lineitem pre-aggregated per order key."""
+
+    The customer dimension is broadcast (tiny in TPC-H); the BUILDING
+    order keys — a fact-table-sized set at scale (~30% of orders) —
+    never touch the driver: they fold into ONE broadcast bloom
+    (``stages/bloomjoin.build_bloom``), lineitem batches are screened
+    against it with per-batch partial revenue combines, and the exact
+    verify rides the revenue groupby itself: building orders union in
+    a zero-revenue MARKER row, so a group without a marker is a bloom
+    false positive and drops, and a marker-only group (order with no
+    lineitem) drops too — inner-join semantics, exact for any m_bits.
+    Driver memory is m_bits/8 bytes + the top-10 row set, independent
+    of fact-table size (replaces the round-3 driver-side
+    ``np.concatenate`` over every building order key)."""
+    from cloud_dedup_ray.functions.hashing import splitmix64
+    from cloud_dedup_ray.functions.sketch import bloom_contains
+    from cloud_dedup_ray.stages.bloomjoin import BLOOM_K, build_bloom
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     building = np.sort(
         cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"].to_numpy()
@@ -100,33 +116,53 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         mask = np.isin(np.asarray(t["o_custkey"], np.int64), keys)
         return t.filter(pa.array(mask)).select(["o_orderkey"])
 
-    ok = np.sort(
-        np.concatenate(
-            [
-                np.asarray(bt["o_orderkey"], np.int64)
-                for bt in orders.map_batches(
-                    filt_orders, batch_format="pyarrow"
-                ).iter_batches(batch_format="pyarrow")
-            ]
-            or [np.empty(0, np.int64)]
-        )
+    bo = orders.map_batches(filt_orders, batch_format="pyarrow").materialize()
+    bloom = build_bloom(
+        bo, lambda t: splitmix64(np.asarray(t["o_orderkey"], np.int64)),
+        m_bits, k=BLOOM_K,
     )
-    ok_ref = ray.put(ok)
+    bloom_ref = ray.put(bloom)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
-        return _revenue_partial(t, keys=ray.get(ok_ref))
+        filt = ray.get(bloom_ref)
+        keep = bloom_contains(
+            filt, splitmix64(np.asarray(t["l_orderkey"], np.int64)), k=BLOOM_K
+        )
+        p = _revenue_partial(t.filter(pa.array(keep)))
+        n = p.num_rows
+        return p.append_column(
+            "is_order", pa.array(np.zeros(n, np.int64))
+        ).append_column("has_li", pa.array(np.ones(n, np.int64)))
+
+    def order_markers(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "rev": pa.array(np.zeros(n, np.float64)),  # sum-neutral
+                "is_order": pa.array(np.ones(n, np.int64)),
+                "has_li": pa.array(np.zeros(n, np.int64)),
+            }
+        )
 
     from ray.data.aggregate import Sum
 
     agg = (
         li.map_batches(partial_rev, batch_format="pyarrow")
+        .union(bo.map_batches(order_markers, batch_format="pyarrow"))
         .groupby("o_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+        .aggregate(
+            Sum("rev", alias_name="revenue"),
+            Sum("is_order", alias_name="n_ord"),
+            Sum("has_li", alias_name="n_li"),
+        )
+        .filter(expr="n_ord >= 1 and n_li >= 1")
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(10)
         .to_pandas()
     )
+    agg = agg.drop(columns=["n_ord", "n_li"])
     agg["revenue"] = agg["revenue"].round(2)
     return agg
 
@@ -546,13 +582,15 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
 def events_user_stats_by_type(sf_dir: str) -> pd.DataFrame:
     """Exact distinct users + volume per event type in one shuffle
     family: each batch pre-aggregates its distinct (event_type,
-    user_id) pairs (with partial event counts and value sums packed as
-    one int64 sort key per pair — fully vectorized, no pandas groupby
-    in the hot path), ONE groupby((type, user)) sums the partials, and
-    the per-type rollup runs over the distinct-pair table. The exact
-    twin of the HLL pattern in ``textops.docs_hll_tokens_by_lang``:
-    here distinct cardinality is users (bounded), so exact stays cheap
-    at 100 TB."""
+    user_id) pairs by LEXSORTING the (type_code, user_id) pair columns
+    and segment-reducing the runs — fully vectorized, no pandas groupby
+    in the hot path, and deliberately NOT packed into one int64 key
+    (arithmetic packing overflows on hash-style/negative user ids; the
+    regression test pins this). ONE groupby((type, user)) sums the
+    partials, and the per-type rollup runs over the distinct-pair
+    table. The exact twin of the HLL pattern in
+    ``textops.docs_hll_tokens_by_lang``: here distinct cardinality is
+    users (bounded), so exact stays cheap at 100 TB."""
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -684,7 +722,7 @@ def customers_without_big_orders(
     filter runs inside the scan batches."""
     from cloud_dedup_ray.functions.hashing import splitmix64
     from cloud_dedup_ray.functions.sketch import bloom_contains
-    from cloud_dedup_ray.stages.bloomjoin import build_bloom
+    from cloud_dedup_ray.stages.bloomjoin import BLOOM_K, build_bloom
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -694,7 +732,8 @@ def customers_without_big_orders(
 
     big = orders.map_batches(big_keys, batch_format="pyarrow").materialize()
     bloom = build_bloom(
-        big, lambda t: splitmix64(np.asarray(t["o_custkey"], np.int64)), m_bits
+        big, lambda t: splitmix64(np.asarray(t["o_custkey"], np.int64)),
+        m_bits, k=BLOOM_K,
     )
     bloom_ref = ray.put(bloom)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -705,7 +744,7 @@ def customers_without_big_orders(
     def screen(t: pa.Table) -> pa.Table:
         filt = ray.get(bloom_ref)
         maybe = bloom_contains(
-            filt, splitmix64(np.asarray(t["c_custkey"], np.int64))
+            filt, splitmix64(np.asarray(t["c_custkey"], np.int64)), k=BLOOM_K
         )
         return pa.table(
             {"key": pc.cast(t["c_custkey"], pa.int64()),
@@ -766,15 +805,19 @@ def customers_without_big_orders(
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
-def orders_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
+def orders_rolling_spend(sf_dir: str, window: int = 3) -> pd.DataFrame:
     """Bounded rolling window (SUM OVER ... ROWS 2 PRECEDING twin):
-    per-customer moving total of the last ``window`` order amounts in
-    (o_orderdate, o_orderkey) order, carried as integer CENTS so the
-    window arithmetic is exact — float rolling means differ between a
-    sliding-sum kernel and a per-frame evaluation in the last ulp,
-    which flips rounded values on hash compare (observed at sf0.01).
-    Same keyed map_groups shape as the cumulative scan; per-key groups
-    are small, so the window never spans partitions."""
+    per-customer moving total (a rolling SUM, as the output column
+    says) of the last ``window`` order amounts in (o_orderdate,
+    o_orderkey) order, carried as integer CENTS so the window
+    arithmetic is exact — float rolling kernels differ between a
+    sliding-sum implementation and a per-frame evaluation in the last
+    ulp, which flips rounded values on hash compare (observed at
+    sf0.01). The price→cents conversion uses np.round (banker's
+    rounding): benign because 2-decimal prices ×100 never land on .5
+    exactly, but that assumption is what makes it safe. Same keyed
+    map_groups shape as the cumulative scan; per-key groups are small,
+    so the window never spans partitions."""
     ds = _read(
         sf_dir, "orders",
         ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],

@@ -24,6 +24,7 @@ from cloud_dedup_ray.functions.simhash import (
     simhash_tokens,
     simhash_tokens_batch,
 )
+from cloud_dedup_ray.functions.sketch import hash_strings_u64
 from cloud_dedup_ray.functions.text import (
     fingerprint64,
     lang_id,
@@ -650,75 +651,105 @@ def corpus_line_dedup(corpus_dir: str) -> pd.DataFrame:
     # resp. files are near-unique keys, so a per-key map_groups would be
     # group-overhead-bound (21k Python group calls at n=600 measured
     # ~70 s). Both shuffles key on a 64-way deterministic hash partition
-    # (pd.util.hash_array: vectorized siphash with a fixed key — stable
-    # across worker processes) and each group call handles its whole
-    # partition vectorized.
+    # and each group call handles its whole partition vectorized. All
+    # wide stages are Arrow-native end-to-end: the partition key is
+    # functions/sketch.hash_strings_u64 (vectorized over the flat UTF-8
+    # buffer, process-stable), sorts are Table.sort_by, and adjacency
+    # marks compare slice(1) vs slice(0, n-1) — the string-heavy line
+    # table never round-trips through pandas.
     P = 64
 
-    def _add_line_part(df: pd.DataFrame) -> pd.DataFrame:
-        part = pd.util.hash_array(df["line"].to_numpy(dtype=object)) % P
-        return df.assign(__part=part.astype(np.int64))
+    def _adjacent_neq(col: pa.ChunkedArray) -> np.ndarray:
+        """keep[i] = row i differs from row i-1 (exact string compare,
+        vectorized; row 0 always True). Input must be pre-sorted."""
+        arr = col.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return np.empty(0, bool)
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        return np.concatenate([[True], np.asarray(neq)])
 
-    def _mark_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["line", "repo", "path", "commit", "line_no"], kind="stable"
+    def _file_key(t: pa.Table) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            t["repo"], t["path"], t["commit"], "\x1f"
         )
-        keep = df["line"].ne(df["line"].shift()).to_numpy()
-        return df.assign(keep=keep).drop(columns="__part")
+
+    def _add_line_part(t: pa.Table) -> pa.Table:
+        part = (hash_strings_u64(t["line"]) % np.uint64(P)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+
+    def _mark_part(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("line", "ascending"), ("repo", "ascending"),
+             ("path", "ascending"), ("commit", "ascending"),
+             ("line_no", "ascending")]
+        )
+        keep = _adjacent_neq(t["line"])
+        return t.drop_columns(["__part"]).append_column(
+            "keep", pa.array(keep)
+        )
 
     marked = (
-        nonempty.map_batches(_add_line_part, batch_format="pandas")
+        nonempty.map_batches(_add_line_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(_mark_part, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_groups(_mark_part, batch_format="pyarrow")
     )
 
-    def _add_file_part(df: pd.DataFrame) -> pd.DataFrame:
-        key = (
-            df["repo"].astype(str)
-            + "\x1f" + df["path"].astype(str)
-            + "\x1f" + df["commit"].astype(str)
-        )
-        part = pd.util.hash_array(key.to_numpy(dtype=object)) % P
-        return df.assign(__fpart=part.astype(np.int64))
+    def _add_file_part(t: pa.Table) -> pa.Table:
+        part = (hash_strings_u64(_file_key(t)) % np.uint64(P)).astype(np.int64)
+        return t.append_column("__fpart", pa.array(part))
 
-    def _reassemble_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["repo", "path", "commit", "line_no"], kind="stable"
+    def _reassemble_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"repo": pa.array([], pa.string()),
+             "path": pa.array([], pa.string()),
+             "commit": pa.array([], pa.string()),
+             "n_lines": pa.array([], pa.int64()),
+             "n_kept": pa.array([], pa.int64()),
+             "dedup_sha256": pa.array([], pa.string())}
         )
-        fkey = (
-            df["repo"].astype(str)
-            + "\x1f" + df["path"].astype(str)
-            + "\x1f" + df["commit"].astype(str)
-        ).to_numpy()
-        bounds = np.flatnonzero(
-            np.concatenate([[True], fkey[1:] != fkey[:-1]])
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("repo", "ascending"), ("path", "ascending"),
+             ("commit", "ascending"), ("line_no", "ascending")]
         )
-        bounds = np.append(bounds, len(df))
-        lines_v = df["line"].to_numpy()
-        keep_v = df["keep"].to_numpy()
-        rows = []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            kept = lines_v[lo:hi][keep_v[lo:hi]]
-            rows.append(
-                (
-                    df["repo"].iloc[lo], df["path"].iloc[lo],
-                    df["commit"].iloc[lo], hi - lo,
-                    int(keep_v[lo:hi].sum()),
-                    hashlib.sha256("\n".join(kept).encode()).hexdigest(),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=["repo", "path", "commit", "n_lines", "n_kept",
-                     "dedup_sha256"],
+        n = t.num_rows
+        starts = np.flatnonzero(_adjacent_neq(_file_key(t)))
+        bounds = np.append(starts, n)
+        keep_v = np.asarray(t["keep"].combine_chunks())
+        n_lines = np.diff(bounds)
+        n_kept = np.add.reduceat(keep_v.astype(np.int64), bounds[:-1])
+        # per-file deduped text: kept rows grouped into one list per
+        # file (offsets = kept-row prefix counts at the boundaries),
+        # joined in C++; only the per-FILE sha256 calls are Python
+        kept_lines = t["line"].combine_chunks().filter(pa.array(keep_v))
+        kept_pfx = np.concatenate([[0], np.cumsum(keep_v, dtype=np.int64)])
+        offsets = kept_pfx[bounds]
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), kept_lines.cast(pa.large_string())
+            ),
+            pa.scalar("\n", pa.large_string()),
+        )
+        shas = [
+            hashlib.sha256(s.encode()).hexdigest() for s in joined.to_pylist()
+        ]
+        first = pa.array(starts, pa.int64())
+        return pa.table(
+            {"repo": pc.take(t["repo"], first),
+             "path": pc.take(t["path"], first),
+             "commit": pc.take(t["commit"], first),
+             "n_lines": pa.array(n_lines, pa.int64()),
+             "n_kept": pa.array(n_kept, pa.int64()),
+             "dedup_sha256": pa.array(shas, pa.string())}
         )
 
     out = (
         marked.union(empties)
-        .map_batches(_add_file_part, batch_format="pandas")
+        .map_batches(_add_file_part, batch_format="pyarrow")
         .groupby("__fpart")
-        .map_groups(_reassemble_part, batch_format="pandas")
+        .map_groups(_reassemble_part, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
@@ -761,29 +792,44 @@ def docs_dup_spans(sf_dir: str, win: int = 40, stride: int = 20) -> pd.DataFrame
 
     P = 64
 
-    def _add_part(df: pd.DataFrame) -> pd.DataFrame:
-        part = pd.util.hash_array(df["win"].to_numpy(dtype=object)) % P
-        return df.assign(__part=part.astype(np.int64))
+    # Arrow-native wide stages (no pandas round-trip on the window
+    # table — it is the widest data in the pipeline): the partition key
+    # is the vectorized flat-buffer string hash, the group stage sorts
+    # with Table.sort_by and marks window/doc boundaries by comparing
+    # slice(1) vs slice(0, n-1) — only tiny int64/bool vectors reach
+    # numpy, never the window strings.
+    def _add_part(t: pa.Table) -> pa.Table:
+        part = (hash_strings_u64(t["win"]) % np.uint64(P)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
 
-    def _mark(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["win", "doc_id"], kind="stable")
-        w = df["win"].to_numpy()
-        d = df["doc_id"].to_numpy()
-        new_win = np.concatenate([[True], w[1:] != w[:-1]])
+    def _mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "dup": pa.array([], pa.int64())}
+            )
+        t = t.sort_by([("win", "ascending"), ("doc_id", "ascending")])
+        w = t["win"].combine_chunks()
+        d = np.asarray(t["doc_id"], np.int64)
+        n = len(w)
+        new_win = np.concatenate(
+            [[True], np.asarray(pc.not_equal(w.slice(1), w.slice(0, n - 1)))]
+        )
         new_pair = new_win | np.concatenate([[True], d[1:] != d[:-1]])
         grp = np.cumsum(new_win) - 1
         ndocs = np.bincount(grp[new_pair])
-        return pd.DataFrame(
-            {"doc_id": d, "dup": (ndocs[grp] > 1).astype(np.int64)}
+        return pa.table(
+            {"doc_id": pa.array(d),
+             "dup": pa.array((ndocs[grp] > 1).astype(np.int64))}
         )
 
     from ray.data.aggregate import Count, Sum
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(_add_part, batch_format="pandas")
+        .map_batches(_add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(_mark, batch_format="pandas")
+        .map_groups(_mark, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
             Count(alias_name="n_windows"),
@@ -1044,7 +1090,7 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
     sizing only moves work between the free screen and the paid verify.
     """
     from cloud_dedup_ray.functions.sketch import bloom_contains, hash_strings_u64
-    from cloud_dedup_ray.stages.bloomjoin import build_bloom
+    from cloud_dedup_ray.stages.bloomjoin import BLOOM_K, build_bloom
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -1066,14 +1112,16 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
         mask = pc.equal(t["side"], "train")
         return hash_strings_u64(t.filter(mask)["content_hash"])
 
-    bloom = build_bloom(tagged, train_hashes, m_bits)
+    bloom = build_bloom(tagged, train_hashes, m_bits, k=BLOOM_K)
     bloom_ref = ray.put(bloom)
 
     # ONE screen pass: the rehash + bloom probes run once per document;
     # the verdict column on the materialized result feeds both branches
     def screen(t: pa.Table) -> pa.Table:
         filt = ray.get(bloom_ref)
-        maybe = bloom_contains(filt, hash_strings_u64(t["content_hash"]))
+        maybe = bloom_contains(
+            filt, hash_strings_u64(t["content_hash"]), k=BLOOM_K
+        )
         return t.append_column("maybe", pa.array(maybe))
 
     screened = tagged.map_batches(screen, batch_format="pyarrow").materialize()
@@ -1110,13 +1158,25 @@ def docs_novel_vs_train(sf_dir: str, m_bits: int = 1 << 20) -> pd.DataFrame:
             }
         )
 
-    verified = (
+    def _typed(df: pd.DataFrame) -> pd.DataFrame:
+        """On a degenerate corpus Ray returns a column-less empty frame;
+        rebuild the typed schema so astype/sort below can't KeyError
+        (same guard as customers_without_big_orders)."""
+        if df.empty and "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "content_hash": pd.Series([], dtype=object),
+                 "is_novel": pd.Series([], dtype="int64")}
+            )
+        return df
+
+    verified = _typed(
         screened.map_batches(take_verify, batch_format="pyarrow")
         .groupby("content_hash")
         .map_groups(judge, batch_format="pyarrow")
         .to_pandas()
     )
-    novel_neg = (
+    novel_neg = _typed(
         screened.map_batches(take_novel, batch_format="pyarrow").to_pandas()
     )
     novel_neg["is_novel"] = np.int64(1)

@@ -23,20 +23,30 @@ import ray.data
 
 from cloud_dedup_ray.functions.sketch import bloom_build, bloom_merge
 
+# The ONE hash-count the build and probe sides must agree on: a filter
+# built with k set-bits per key yields false NEGATIVES (dropped rows in
+# the "exact" anti-joins) if probed with a different k. Every
+# ``bloom_contains`` call against a ``build_bloom`` filter must pass
+# this same constant explicitly.
+BLOOM_K = 4
+
 
 def build_bloom(
     ds: ray.data.Dataset,
     hash_batch: Callable[[pa.Table], np.ndarray],
     m_bits: int = 1 << 20,
     fan_in: int = 64,
+    k: int = BLOOM_K,
 ) -> np.ndarray:
     """Merged bloom filter over ``hash_batch(batch)`` uint64 keys of
     every batch of ``ds``. Dedup inside the batch keeps the per-batch
-    bit-set cost proportional to distinct keys."""
+    bit-set cost proportional to distinct keys. Probe the result with
+    ``bloom_contains(words, hashes, k=<same k>)`` — pass ``BLOOM_K``
+    at both ends so the build/probe coupling is explicit."""
     n_words = m_bits // 64
 
     def partial(t: pa.Table) -> pa.Table:
-        words = bloom_build(np.unique(hash_batch(t)), m_bits)
+        words = bloom_build(np.unique(hash_batch(t)), m_bits, k=k)
         return pa.table(
             {"bloom": pa.array([words.tobytes()], pa.binary(8 * n_words))}
         )
