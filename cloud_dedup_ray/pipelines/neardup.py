@@ -181,8 +181,16 @@ def _fetch_signatures(
     """Semi-join the signatures of ``wanted`` doc_ids out of ``signed``
     (broadcast id-array ``np.isin`` filter) → (ids, sigs) sorted by id.
     Task wave over block refs when materialized, Dataset job otherwise.
-    Scale path: partitioned hash join of ids × signatures on doc_id
-    (same code shape, no broadcast)."""
+
+    This is the SMALL-side path only: both call sites (``_verify_edges``
+    and the containment signature screen) switch to the partitioned
+    pairs × signatures hash join (``_estimate_pairs_distributed``) when
+    the candidate id set exceeds ``cfg.distributed_estimate_threshold``
+    — above that, broadcasting ``wanted`` and returning the gathered
+    matrix to the driver would be the scale-killer. Equivalence of the
+    two branches is forced-path tested
+    (tests/test_neardup.py::test_distributed_estimate_matches_driver_path,
+    threshold=0 with containment on)."""
     cand_ref = ray.put(wanted)
 
     def _sig_block(t: pa.Table, want: np.ndarray):

@@ -337,11 +337,20 @@ def build_lsh_index(
 def query_lsh_index(
     index_dir: str, qvec: np.ndarray, k: int = 10,
     exclude_id: int | None = None, metrics_out: dict | None = None,
+    probe_all: bool = False,
 ) -> pd.DataFrame:
     """Top-k from a built LSH index: compute the query's bucket per
     table, read ONLY those ``table=T/bucket=B`` partitions, exact-cosine
     re-rank of the (deduplicated) candidates. Rows/bytes read are
-    proportional to the probed partitions, never the corpus."""
+    proportional to the probed partitions, never the corpus.
+
+    ``probe_all=True`` is the EXACT mode (the LSH analog of IVF
+    nprobe=all): probe every bucket of table 0 — each vector lives in
+    exactly one table-0 bucket, so the candidate set is the whole
+    corpus read once through the index layout and the answer equals
+    brute force. That is what makes the query oracle-checkable against
+    the brute-force SQL twin; the sublinear default path is recall-
+    tested in tests/test_similarity.py."""
     import os
 
     meta = _read_meta(index_dir)
@@ -350,12 +359,20 @@ def query_lsh_index(
         HyperplaneLSH(meta["dim"], meta["n_planes"], meta["seed_base"] + t)
         for t in range(meta["n_tables"])
     ]
-    paths = []
-    for ti, s in enumerate(signers):
-        b = int(s.bucket(qvec[None, :])[0])
-        p = f"{index_dir}/table={ti}/bucket={b}"
-        if os.path.isdir(p):
-            paths.append(p)
+    if probe_all:
+        t0 = f"{index_dir}/table=0"
+        paths = sorted(
+            os.path.join(t0, d)
+            for d in os.listdir(t0)
+            if d.startswith("bucket=")
+        ) if os.path.isdir(t0) else []
+    else:
+        paths = []
+        for ti, s in enumerate(signers):
+            b = int(s.bucket(qvec[None, :])[0])
+            p = f"{index_dir}/table={ti}/bucket={b}"
+            if os.path.isdir(p):
+                paths.append(p)
     empty = pd.DataFrame(
         {"vec_id": pd.Series(dtype="int64"),
          "cos_sim": pd.Series(dtype="float64")}
@@ -407,12 +424,14 @@ def query_lsh_index(
 def emb_knn_lsh(
     sf_dir: str, query_vec_id: int = 0, k: int = 10,
     n_planes: int = 6, n_tables: int = 8,
-    metrics_out: dict | None = None,
+    metrics_out: dict | None = None, probe_all: bool = False,
 ) -> pd.DataFrame:
     """ANN top-k: multi-table random-hyperplane LSH candidate
     generation over BUCKET-PARTITIONED PARQUET (built once per
     (corpus, params), cached on source size+mtime_ns), exact cosine
-    re-rank of candidates. Query cost ∝ probed-partition rows."""
+    re-rank of candidates. Query cost ∝ probed-partition rows.
+    ``probe_all=True`` probes every table-0 bucket — exact, equals the
+    brute-force answer (see query_lsh_index)."""
     import os
 
     index_dir = _ann_cache_dir(sf_dir, "lsh", [n_planes, n_tables, 1000])
@@ -423,7 +442,8 @@ def emb_knn_lsh(
         )
     q = _lookup_query_vec(sf_dir, query_vec_id)
     return query_lsh_index(
-        index_dir, q, k, exclude_id=query_vec_id, metrics_out=metrics_out
+        index_dir, q, k, exclude_id=query_vec_id, metrics_out=metrics_out,
+        probe_all=probe_all,
     )
 
 

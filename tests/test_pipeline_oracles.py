@@ -1,0 +1,26 @@
+"""The driver-facing pure-Python pipeline oracles
+(cloud_dedup_ray/oracle/pipeline_oracles.py) must agree EXACTLY with
+the Ray pipelines on the real testdata tables — these are the frames
+the read_parquet SQL twins hash-compare against."""
+
+import pandas.testing as pdt
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cdc_oracle_matches_pipeline(ray_session):
+    from cloud_dedup_ray.oracle.pipeline_oracles import oracle_cdc_dedup
+    from cloud_dedup_ray.pipelines.textops import docs_cdc_dedup
+
+    pdt.assert_frame_equal(oracle_cdc_dedup(SF), docs_cdc_dedup(SF))
+
+
+def test_hll_oracle_matches_pipeline(ray_session):
+    from cloud_dedup_ray.oracle.pipeline_oracles import (
+        oracle_hll_tokens_by_lang,
+    )
+    from cloud_dedup_ray.pipelines.textops import docs_hll_tokens_by_lang
+
+    pdt.assert_frame_equal(
+        oracle_hll_tokens_by_lang(SF), docs_hll_tokens_by_lang(SF)
+    )

@@ -51,6 +51,22 @@ def test_ivf_deterministic():
     assert a.equals(b)
 
 
+def test_exact_probe_modes_equal_bruteforce(truth):
+    """The driver-checked parameterizations: probing EVERY index
+    partition (LSH probe_all / IVF nprobe = n_centroids) must
+    reproduce the brute-force top-k exactly — same ids, same cos_sim,
+    same order — which is what lets the brute-force SQL twin serve as
+    their full hash oracle."""
+    import pandas.testing as pdt
+
+    from cloud_dedup_ray.pipelines.similarity import emb_knn_ivf, emb_knn_lsh
+
+    lsh = emb_knn_lsh(SF, query_vec_id=0, k=10, probe_all=True)
+    ivf = emb_knn_ivf(SF, query_vec_id=0, k=10, n_centroids=16, nprobe=16)
+    pdt.assert_frame_equal(lsh, truth)
+    pdt.assert_frame_equal(ivf, truth)
+
+
 def test_neardup_pairs_exact_vs_bruteforce():
     """Blocked/pruned emb_neardup_pairs must equal the full O(n²)
     matmul result exactly (pruning is a bound, never a heuristic)."""

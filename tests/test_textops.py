@@ -111,3 +111,54 @@ def test_corpus_line_dedup_first_occurrence(tmp_path):
     assert first["n_kept"] == first["n_lines"]
     other = out[(out["repo"] == "rB")].iloc[0]
     assert other["n_kept"] < other["n_lines"]
+
+
+def test_fingerprint64_blake2b_branch_flags_sql_twin(tmp_path):
+    """Texts whose NORMALIZED form is 1..16 bytes take fingerprint64's
+    blake2b branch, which the DuckDB twin deliberately cannot express:
+    the twin emits rows only for n == 0 and n > 16, so a corpus with a
+    short doc must (a) get the correct blake2b value from the Ray
+    pipeline and (b) make the twin's row count drop — the loud
+    row-count flag the fp64 oracle comment promises, proven here with
+    an actual short-normalized-text row."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from cloud_dedup_ray.pipelines.textops import docs_fingerprint64
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "  Short ONE  ",          # normalizes to 'short one' (9 B)
+                "",                        # n == 0 branch: fp64 = 0
+                "long enough to take the rolling-hash branch " * 3,
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = docs_fingerprint64(str(tmp_path))
+    assert len(got) == 3
+
+    # (a) the blake2b branch value is pinned directly
+    want_short = int.from_bytes(
+        hashlib.blake2b(b"short one", digest_size=8).digest(), "big"
+    )
+    assert np.uint64(got.loc[got["doc_id"] == 0, "fp64"].iloc[0]) == np.uint64(
+        want_short
+    )
+    assert got.loc[got["doc_id"] == 1, "fp64"].iloc[0] == 0
+
+    # (b) the SQL twin drops the short row -> row-count mismatch fires
+    con = duckdb.connect()
+    con.register("documents", docs)
+    twin = con.execute(entry.oracle_sql()["docs_fingerprint64"]).df()
+    assert len(twin) == 2
+    assert set(twin["doc_id"]) == {1, 2}
+    # rows the twin does emit agree with the pipeline
+    merged = twin.merge(got, on="doc_id", suffixes=("_sql", "_ray"))
+    assert (merged["fp64_sql"] == merged["fp64_ray"]).all()
