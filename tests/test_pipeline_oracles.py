@@ -24,3 +24,20 @@ def test_hll_oracle_matches_pipeline(ray_session):
     pdt.assert_frame_equal(
         oracle_hll_tokens_by_lang(SF), docs_hll_tokens_by_lang(SF)
     )
+
+
+def test_minhash_clusters_oracle_matches_pipeline(ray_session):
+    """The scalar-loop rerun of the whole near-dup tier (normalize →
+    shingle → OPH sign+densify → band/bucket keys → capped pairing →
+    estimate/exact hybrid verify → min-label components) must reproduce
+    the Ray pipeline's cluster assignment exactly."""
+    from cloud_dedup_ray.oracle.pipeline_oracles import (
+        oracle_minhash_clusters,
+    )
+    from cloud_dedup_ray.pipelines.textops import docs_minhash_clusters
+
+    got = docs_minhash_clusters(SF)
+    want = oracle_minhash_clusters(SF)
+    pdt.assert_frame_equal(want, got)
+    # the corpus must actually exercise the clustering (non-trivial)
+    assert (want["cluster_id"] != want["doc_id"]).any()
