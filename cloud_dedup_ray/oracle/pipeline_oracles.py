@@ -243,37 +243,52 @@ def _band_hashes(sig: list[int], num_bands: int) -> list[int]:
     return out
 
 
-def oracle_minhash_clusters(
-    sf_dir: str,
-    shingle_k: int = 3,
-    threshold: float = 0.6,
-    num_perm: int = 128,
-    num_bands: int = 32,
-    margin: float = 0.11,
-    cap: int = 64,
-    min_doc_chars: int = 8,
-    seed: int = 42,
-) -> pd.DataFrame:
-    df = pd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+def _sign_docs(
+    docs: dict[int, str],
+    shingle_k: int,
+    num_perm: int,
+    min_doc_chars: int,
+    seed: int,
+) -> tuple[dict[int, set[int]], dict[int, list[int]]]:
+    """Per-doc normalize → shingle → OPH sign. ``docs`` maps doc_id to
+    RAW text; returns (shingle sets, signatures)."""
     seed_tweak = int.from_bytes(
         hashlib.blake2b(str(seed).encode(), digest_size=8).digest(), "big"
     )
-    ids = [int(i) for i in df["doc_id"]]
     sh: dict[int, set[int]] = {}
     sigs: dict[int, list[int]] = {}
-    buckets: dict[int, set[int]] = {}
-    band_tweaks = [(b * _TWEAK) % _MOD for b in range(num_bands)]
-    for doc_id, text in zip(ids, df["text"]):
+    for doc_id, text in docs.items():
         norm = _norm(text)
         s = _shingles(norm, shingle_k) if len(norm) >= min_doc_chars else set()
         sh[doc_id] = s
-        sig = _oph_signature(s, num_perm, seed_tweak)
-        sigs[doc_id] = sig
+        sigs[doc_id] = _oph_signature(s, num_perm, seed_tweak)
+    return sh, sigs
+
+
+def _exact_jaccard(x: set[int], y: set[int]) -> float:
+    if not x and not y:
+        return 1.0
+    inter = len(x & y)
+    return inter / (len(x) + len(y) - inter)
+
+
+def _lsh_verified_edges(
+    sh: dict[int, set[int]],
+    sigs: dict[int, list[int]],
+    threshold: float,
+    num_bands: int,
+    margin: float,
+    cap: int,
+) -> list[tuple[int, int]]:
+    """LSH banding → capped candidate pairs → hybrid estimate/exact
+    verification. Returns accepted edges (a < b)."""
+    num_perm = len(next(iter(sigs.values()))) if sigs else 0
+    band_tweaks = [(b * _TWEAK) % _MOD for b in range(num_bands)]
+    buckets: dict[int, set[int]] = {}
+    for doc_id, s in sh.items():
         if not s:
             continue  # explode_bands skips n_shingles == 0
-        for b, bh in enumerate(_band_hashes(sig, num_bands)):
+        for b, bh in enumerate(_band_hashes(sigs[doc_id], num_bands)):
             buckets.setdefault(_sm64(bh ^ band_tweaks[b]), set()).add(doc_id)
 
     pairs: set[tuple[int, int]] = set()
@@ -294,12 +309,6 @@ def oracle_minhash_clusters(
                 if rep != y:
                     pairs.add((rep, y))
 
-    def _exact_jaccard(x: set[int], y: set[int]) -> float:
-        if not x and not y:
-            return 1.0
-        inter = len(x & y)
-        return inter / (len(x) + len(y) - inter)
-
     edges = []
     for a, b in pairs:
         sa, sb = sigs[a], sigs[b]
@@ -310,7 +319,11 @@ def oracle_minhash_clusters(
             sh[a] and sh[b] and _exact_jaccard(sh[a], sh[b]) >= threshold
         ):
             edges.append((a, b))
+    return edges
 
+
+def _min_label_components(edges) -> dict[int, int]:
+    """node → min node id of its component, for nodes touched by edges."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -324,13 +337,150 @@ def oracle_minhash_clusters(
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    cluster = {d: find(d) if d in parent else d for d in ids}
-    out = pd.DataFrame(
+    return {x: find(x) for x in parent}
+
+
+def _assignment_frame(ids, comp: dict[int, int]) -> pd.DataFrame:
+    ids = sorted(ids)
+    return pd.DataFrame(
         {
-            "doc_id": pd.Series(sorted(ids), dtype="int64"),
+            "doc_id": pd.Series(ids, dtype="int64"),
             "cluster_id": pd.Series(
-                [cluster[d] for d in sorted(ids)], dtype="int64"
+                [comp.get(d, d) for d in ids], dtype="int64"
             ),
         }
+    ).reset_index(drop=True)
+
+
+def oracle_minhash_clusters(
+    sf_dir: str,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    margin: float = 0.11,
+    cap: int = 64,
+    min_doc_chars: int = 8,
+    seed: int = 42,
+) -> pd.DataFrame:
+    df = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return out.reset_index(drop=True)
+    docs = {int(i): t for i, t in zip(df["doc_id"], df["text"])}
+    sh, sigs = _sign_docs(docs, shingle_k, num_perm, min_doc_chars, seed)
+    edges = _lsh_verified_edges(sh, sigs, threshold, num_bands, margin, cap)
+    return _assignment_frame(docs.keys(), _min_label_components(edges))
+
+
+def _containment_reference_edges(
+    docs: dict[int, str],
+    sh: dict[int, set[int]],
+    sigs: dict[int, list[int]],
+    precomp: dict[int, int],
+    threshold: float,
+    cap: int,
+    anchors_k: int,
+    sig_margin: float,
+) -> list[tuple[int, int]]:
+    """Reference of the suffix-array containment pass: bottom-k shingle
+    anchor blocking → LSH-cluster representative collapse → shingle-
+    count ratio prune → signature containment screen → exact substring
+    verification (``small in big`` — equivalent to SuffixArray.contains,
+    pinned by tests/test_neardup.py::test_suffix_array_matches_python_in)."""
+    num_perm = len(next(iter(sigs.values()))) if sigs else 0
+    # anchor groups: docs sharing a bottom-k shingle, 2..cap members
+    by_anchor: dict[int, set[int]] = {}
+    for d, s in sh.items():
+        for a in sorted(s)[:anchors_k]:
+            by_anchor.setdefault(a, set()).add(d)
+    groups = {
+        tuple(sorted(m)) for m in by_anchor.values() if 2 <= len(m) <= cap
+    }
+    # collapse to one representative (min member) per LSH cluster
+    pruned: set[tuple[int, ...]] = set()
+    for g in groups:
+        reps: dict[int, int] = {}
+        for m in g:  # ascending → first member per cluster is the min
+            reps.setdefault(precomp.get(m, m), m)
+        if len(reps) >= 2:
+            pruned.add(tuple(sorted(reps.values())))
+
+    # pair extraction: orient (big, small) by shingle count, drop pairs
+    # the LSH tier owns (count ratio ≥ threshold ⇒ J ≥ threshold if
+    # contained) and empty docs
+    pairs: set[tuple[int, int]] = set()
+    for g in pruned:
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                x, y = g[i], g[j]
+                nx, ny = len(sh[x]), len(sh[y])
+                if nx == 0 or ny == 0:
+                    continue
+                if min(nx, ny) >= threshold * max(nx, ny):
+                    continue
+                big, small = (x, y) if nx > ny else (y, x)
+                pairs.add((big, small))
+
+    norm_cache: dict[int, str] = {}
+
+    def _n(d: int) -> str:
+        if d not in norm_cache:
+            norm_cache[d] = _norm(docs.get(d))
+        return norm_cache[d]
+
+    edges: set[tuple[int, int]] = set()
+    for big, small in pairs:
+        # signature containment screen: a contained pair's estimate
+        # concentrates at r = |small|/|big|
+        r = len(sh[small]) / len(sh[big])
+        est = sum(u == v for u, v in zip(sigs[big], sigs[small])) / num_perm
+        if est < r - sig_margin:
+            continue
+        bt, st = _n(big), _n(small)
+        if not bt or not st or len(st) >= len(bt):
+            continue
+        if st in bt:
+            edges.add((min(big, small), max(big, small)))
+    return sorted(edges)
+
+
+def oracle_nd_cluster_assignments(
+    corpus_dir: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    margin: float = 0.11,
+    cap: int = 64,
+    min_doc_chars: int = 8,
+    anchors_k: int = 8,
+    sig_margin: float = 0.15,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Reference answer for the ``nd_cluster_assignments`` driver query:
+    the FULL near-dup tier (LSH + containment, DedupConfig defaults)
+    over the deterministic synthetic corpus, per-document pure Python.
+    Input prep mirrors the query's projection: drop hidden paths
+    (``(^|/)\\.`` — covers .DS_Store) and symlinks; doc_id is the
+    63-bit sha1 of (repo, path, commit) (functions/hashing.stable_id64)."""
+    df = pd.read_parquet(
+        corpus_dir, columns=["repo", "path", "commit", "content", "is_symlink"]
+    )
+    hidden = df["path"].str.contains(r"(?:^|/)\.", regex=True)
+    df = df[~hidden & ~df["is_symlink"]]
+    docs: dict[int, str] = {}
+    for repo, path, commit, content in zip(
+        df["repo"], df["path"], df["commit"], df["content"]
+    ):
+        key = f"{repo}\0{path}\0{commit or ''}"
+        h = hashlib.sha1(key.encode()).digest()
+        doc_id = int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+        docs[doc_id] = content
+    sh, sigs = _sign_docs(docs, shingle_k, num_perm, min_doc_chars, seed)
+    lsh_edges = _lsh_verified_edges(sh, sigs, threshold, num_bands, margin, cap)
+    precomp = _min_label_components(lsh_edges)
+    cont_edges = _containment_reference_edges(
+        docs, sh, sigs, precomp, threshold, cap, anchors_k, sig_margin
+    )
+    comp = _min_label_components(lsh_edges + cont_edges)
+    return _assignment_frame(docs.keys(), comp)
