@@ -125,6 +125,17 @@ def oracle_hll_tokens_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
     df = pd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]
     )
+    # The equivalence of ``text.lower().split()`` to the pipeline's
+    # collapse-whitespace → split(' ') → drop-empty holds only while
+    # the corpus contains no whitespace other than plain spaces — pin
+    # that precondition loudly instead of silently desynchronizing if
+    # datagen ever introduces tabs/newlines/NBSP ([^\S ] = any
+    # whitespace char that is not ' ').
+    assert not df["text"].str.contains(r"[^\S ]", regex=True).any(), (
+        "documents text contains non-space whitespace; "
+        "oracle_hll_tokens_by_lang's tokenizer shortcut no longer "
+        "matches the pipeline's normalize()+split(' ') contract"
+    )
     m = 1 << p
     regs: dict[str, list[int]] = {}
     for lang, text in zip(df["lang"], df["text"]):

@@ -25,8 +25,15 @@ import ray
 import ray.data
 
 
-def _emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+def _emb(
+    sf_dir: str, columns: tuple[str, ...] = ("vec_id", "embedding")
+) -> ray.data.Dataset:
+    """Pruned read of the embeddings table — every similarity operator
+    needs only (vec_id, embedding), so extra columns (e.g. ``label``)
+    never leave storage."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=list(columns)
+    )
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -70,7 +77,11 @@ def emb_knn_bruteforce(
         keep = ids != query_vec_id
         ids, m = ids[keep], m[keep]
         sims = _normalize_rows(m) @ qv
-        order = np.argsort(-sims, kind="stable")[:k]
+        # partial top-k cut in the SQL twin's TOTAL order (cos_sim
+        # DESC, vec_id ASC) — a stable sort on -sims alone would break
+        # boundary ties by storage order, which can diverge from the
+        # global merge when >= k+1 equal sims straddle a batch cut
+        order = np.lexsort((ids, -sims))[:k]
         return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
 
     parts = ray.get(
@@ -404,7 +415,11 @@ def query_lsh_index(
                  "cos_sim": pa.array([], pa.float64())}
             )
         sims = _normalize_rows(m) @ qv
-        order = np.argsort(-sims, kind="stable")[:k]
+        # partial top-k cut in the SQL twin's TOTAL order (cos_sim
+        # DESC, vec_id ASC) — a stable sort on -sims alone would break
+        # boundary ties by storage order, which can diverge from the
+        # global merge when >= k+1 equal sims straddle a batch cut
+        order = np.lexsort((ids, -sims))[:k]
         return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
 
     rows = cand.map_batches(rerank, batch_format="pyarrow").to_pandas()
@@ -778,7 +793,11 @@ def query_ivf_index(
                  "cos_sim": pa.array([], pa.float64())}
             )
         sims = _normalize_rows(m) @ qv
-        order = np.argsort(-sims, kind="stable")[:k]
+        # partial top-k cut in the SQL twin's TOTAL order (cos_sim
+        # DESC, vec_id ASC) — a stable sort on -sims alone would break
+        # boundary ties by storage order, which can diverge from the
+        # global merge when >= k+1 equal sims straddle a batch cut
+        order = np.lexsort((ids, -sims))[:k]
         return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
 
     rows = cand.map_batches(rerank, batch_format="pyarrow").to_pandas()

@@ -617,7 +617,12 @@ def corpus_line_dedup(corpus_dir: str) -> pd.DataFrame:
     exact reassembly, not just counts)."""
     import hashlib
 
-    ds = ray.data.read_parquet(corpus_dir)
+    # pruned scan: the stage keys and reassembles on exactly these five
+    # columns — lang/size/mtime/symlink_target never leave storage
+    ds = ray.data.read_parquet(
+        corpus_dir,
+        columns=["repo", "path", "commit", "content", "is_symlink"],
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -670,8 +675,16 @@ def corpus_line_dedup(corpus_dir: str) -> pd.DataFrame:
         return np.concatenate([[True], np.asarray(neq)])
 
     def _file_key(t: pa.Table) -> pa.ChunkedArray:
+        # fill_null first: binary_join_element_wise emits NULL if ANY
+        # input is null, and a null key would make _adjacent_neq's
+        # boolean mask null-bearing — silently merging a null-keyed
+        # file into its neighbour. Nulls hash as empty strings
+        # everywhere else (stable_id64's rule), so mirror that here.
         return pc.binary_join_element_wise(
-            t["repo"], t["path"], t["commit"], "\x1f"
+            pc.fill_null(t["repo"], ""),
+            pc.fill_null(t["path"], ""),
+            pc.fill_null(t["commit"], ""),
+            "\x1f",
         )
 
     def _add_line_part(t: pa.Table) -> pa.Table:

@@ -8,6 +8,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -47,6 +48,10 @@ def value_hash(df: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # sketch-family oracle twins read the expected parquet from the
+    # scale-keyed path (__ray_entry__._expected_dir) — point them at
+    # the scale this run actually uses
+    os.environ["CDR_EXPECTED_SF_DIR"] = sf_dir
     import ray
 
     if not ray.is_initialized():

@@ -12,6 +12,10 @@ import pandas as pd
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+# sketch-family oracle twins read the expected parquet from the
+# scale-keyed path (__ray_entry__._expected_dir) — point them at the
+# scale this mirror runs, before oracle_sql() renders its strings
+os.environ["CDR_EXPECTED_SF_DIR"] = SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
