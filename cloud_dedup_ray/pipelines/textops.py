@@ -39,6 +39,23 @@ def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _sink_or_pandas(ds: ray.data.Dataset, sort_keys, out_dir: str | None):
+    """Terminal step shared by the per-document pipelines: at driver /
+    test scale the result funnels to a sorted pandas frame (the
+    ``queries()`` contract), but per-row output at 100× scale must
+    never materialize on the driver — pass ``out_dir`` and the workers
+    stream the result straight to partitioned parquet (one file per
+    block, resumable layout), returning the path instead of a frame.
+    The two paths carry identical rows; ``tests/test_textops.py::
+    test_parquet_sink_twin_matches_dataframe_path`` pins the parquet
+    twin byte-for-byte against the DataFrame path per family."""
+    if out_dir is not None:
+        ds.write_parquet(out_dir)
+        return out_dir
+    out = ds.to_pandas()
+    return out.sort_values(sort_keys).reset_index(drop=True)
+
+
 def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash-partition on md5(text), keep min doc_id as the
     representative (groupby shuffle on the digest — the E3 pattern)."""
@@ -98,32 +115,40 @@ def docs_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("fingerprint").reset_index(drop=True)
 
 
-def docs_token_count(sf_dir: str) -> pd.DataFrame:
+def docs_token_count(sf_dir: str, out_dir: str | None = None):
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"], "n_tokens": token_count(t["text"])}),
-        batch_format="pyarrow",
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _sink_or_pandas(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "n_tokens": token_count(t["text"])}
+            ),
+            batch_format="pyarrow",
+        ),
+        "doc_id",
+        out_dir,
+    )
 
 
-def docs_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+def docs_token_count_bpe(sf_dir: str, out_dir: str | None = None):
     """LLM token-budget proxy: GPT-2-style pre-tokenizer regex count per
     doc (see ``functions.text.token_count_bpe``) — stateless vectorized
     map, pruned read."""
     from cloud_dedup_ray.functions.text import token_count_bpe
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"], "n_bpe_tokens": token_count_bpe(t["text"])}
+    return _sink_or_pandas(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "n_bpe_tokens": token_count_bpe(t["text"])}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+        "doc_id",
+        out_dir,
+    )
 
 
-def docs_train_split(sf_dir: str) -> pd.DataFrame:
+def docs_train_split(sf_dir: str, out_dir: str | None = None):
     """Deterministic hash-based train/val/test assignment — the
     standard leakage-safe split for training corpora (stable across
     runs and cluster sizes, no shuffle, no state): bucket on the first
@@ -137,33 +162,40 @@ def docs_train_split(sf_dir: str) -> pd.DataFrame:
         split = np.where(first < "c", "train", np.where(first < "e", "val", "test"))
         return pa.table({"doc_id": t["doc_id"], "split": pa.array(split)})
 
-    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _sink_or_pandas(
+        ds.map_batches(assign, batch_format="pyarrow"), "doc_id", out_dir
+    )
 
 
-def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
+def docs_fingerprint(sf_dir: str, out_dir: str | None = None):
     """md5 fingerprint of whitespace-normalized lowercase text (an exact
     SQL twin exists); the rolling-hash winnowing fingerprint rides along
     for the rows-only variant."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"], "fingerprint": md5_hex(normalize(t["text"]))}
+    return _sink_or_pandas(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "fingerprint": md5_hex(normalize(t["text"]))}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+        "doc_id",
+        out_dir,
+    )
 
 
-def docs_fingerprint64(sf_dir: str) -> pd.DataFrame:
+def docs_fingerprint64(sf_dir: str, out_dir: str | None = None):
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"], "fp64": fingerprint64(t["text"])}
+    return _sink_or_pandas(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "fp64": fingerprint64(t["text"])}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+        "doc_id",
+        out_dir,
+    )
 
 
 def docs_stats_by_lang(sf_dir: str) -> pd.DataFrame:
@@ -179,19 +211,22 @@ def docs_stats_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
-def docs_lang_id(sf_dir: str) -> pd.DataFrame:
+def docs_lang_id(sf_dir: str, out_dir: str | None = None):
     """Heuristic n-gram language ID (stateless vectorized stage)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"], "lang_pred": lang_id(t["text"])}
+    return _sink_or_pandas(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "lang_pred": lang_id(t["text"])}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+        "doc_id",
+        out_dir,
+    )
 
 
-def docs_quality(sf_dir: str) -> pd.DataFrame:
+def docs_quality(sf_dir: str, out_dir: str | None = None):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def feats(t: pa.Table) -> pa.Table:
@@ -204,8 +239,9 @@ def docs_quality(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(feats, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _sink_or_pandas(
+        ds.map_batches(feats, batch_format="pyarrow"), "doc_id", out_dir
+    )
 
 
 def docs_minhash_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
@@ -508,7 +544,7 @@ def scrub_pii(texts: pa.Array) -> tuple[pa.Array, pa.Array, pa.Array]:
     return scrubbed, n_urls, n_emails
 
 
-def docs_scrub_pii(sf_dir: str) -> pd.DataFrame:
+def docs_scrub_pii(sf_dir: str, out_dir: str | None = None):
     """PII scrubbing (URL/email masking) over documents. The synthetic
     corpus carries no PII, so the query INJECTS deterministic
     doc_id-derived URL+email tokens before scrubbing — the oracle twin
@@ -533,11 +569,12 @@ def docs_scrub_pii(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _sink_or_pandas(
+        ds.map_batches(scrub, batch_format="pyarrow"), "doc_id", out_dir
+    )
 
 
-def docs_repetition_stats(sf_dir: str) -> pd.DataFrame:
+def docs_repetition_stats(sf_dir: str, out_dir: str | None = None):
     """Gopher-style repetition signals per doc over normalized
     whitespace words: distinct-word ratio, duplicate-occurrence char
     ratio, top-word frequency ratio. Stateless per-doc map, vectorized
@@ -601,8 +638,9 @@ def docs_repetition_stats(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _sink_or_pandas(
+        ds.map_batches(stats, batch_format="pyarrow"), "doc_id", out_dir
+    )
 
 
 def corpus_line_dedup(corpus_dir: str) -> pd.DataFrame:

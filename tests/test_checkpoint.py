@@ -275,3 +275,43 @@ def test_corpus_identity_scope_couples_fields():
     assert _corpus_identity_scope(ray.data.from_items(touched)) != base
     # identical input reproduces the scope (order-independent)
     assert _corpus_identity_scope(ray.data.from_items(rows[::-1])) == base
+
+
+def test_resume_at_bench_scale_no_resign_identical_clusters(tmp_path, monkeypatch):
+    """Kill/resume at BENCH scale (the sf0.1 bench corpus shape, ~28k
+    rows over 64 shard files) — resumability evidenced at a size where
+    it matters, not just the 120-row fixture: a kill landing AFTER the
+    signing stage (every sig-partition checkpoint complete, the bucket
+    stage and everything downstream gone) must re-sign NOTHING on
+    resume (all 8 partition lineage fingerprints validate) and produce
+    byte-identical final cluster assignments."""
+    from cloud_dedup_ray.datagen import write_corpus
+    from cloud_dedup_ray.pipelines.neardup import cluster_corpus_resumable
+
+    cdir = write_corpus(str(tmp_path / "corpus"), seed=42, n_files=20000,
+                        n_repos=4, n_shards=64)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    r1 = cluster_corpus_resumable(cdir, cfg, num_partitions=8,
+                                  with_containment=False)
+    a1 = _assign(r1)
+    assert [p["resumed"] for p in r1.metrics["partitions"]] == [False] * 8
+    assert len(a1) > 20000  # bench-scale row count actually reached
+
+    # simulate the kill: signatures all on disk, downstream gone
+    import shutil
+
+    shutil.rmtree(tmp_path / "ck" / "lsh_buckets")
+
+    calls = []
+    orig = neardup.sign_dataset
+
+    def counting_sign(c, cfg_):
+        calls.append(1)
+        return orig(c, cfg_)
+
+    monkeypatch.setattr(neardup, "sign_dataset", counting_sign)
+    r2 = cluster_corpus_resumable(cdir, cfg, num_partitions=8,
+                                  with_containment=False)
+    assert calls == []  # zero re-signing across all completed partitions
+    assert [p["resumed"] for p in r2.metrics["partitions"]] == [True] * 8
+    assert _assign(r2) == a1

@@ -407,3 +407,56 @@ def test_distributed_estimate_with_empty_partitions():
     e = np.empty(0, np.int64)
     acc0, unc0 = _estimate_pairs_distributed(signed, e, e, e.astype(float), e.astype(float))
     assert acc0.shape == (0, 2) and unc0.shape == (0, 2)
+
+
+def test_lsh_bucket_cap_forced_path_adversarial_skew():
+    """Skew guard at the level the 100 TB story assumes: ONE bucket more
+    than 10x larger than ``bucket_pair_cap`` (the license-file scenario
+    — thousands of near-identical boilerplate files landing in every
+    band bucket together). The cap must (a) bound emitted candidate
+    pairs at O(2b) instead of C(b,2), and (b) keep the bucket CONNECTED
+    through the chain+star edge set, so after verification all members
+    still resolve to one cluster."""
+    from cloud_dedup_ray.stages.minhash_stage import bucket_pairs_arrays
+    from cloud_dedup_ray.state.union_find import UnionFind
+
+    # --- kernel level: b = 200 members, cap = 16 (bucket 12.5x cap) ---
+    b, cap = 200, 16
+    ids = np.arange(1000, 1000 + b, dtype=np.int64)
+    bk = np.zeros(b, np.int64)
+    a, bb, size_vals, size_counts = bucket_pairs_arrays(bk, ids, cap)
+    # chain (b-1) + star (b-1) share exactly one edge (rep -> members[1])
+    assert len(a) == 2 * b - 3
+    assert size_vals.tolist() == [b] and size_counts.tolist() == [1]
+    uf = UnionFind()
+    uf.add_edges(zip(a.tolist(), bb.tolist()))
+    assert len({uf.find(int(d)) for d in ids}) == 1
+
+    # --- end-to-end: 200 identical license docs + 40 distinct docs ---
+    lic = (
+        "permission is hereby granted free of charge to any person "
+        "obtaining a copy of this software and associated documentation "
+    ) * 3
+    texts = [lic] * 200 + [
+        f"unique document number {i} carries its own words {i * 7} and "
+        f"token {i * 13}" for i in range(40)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "content": pa.array(texts),
+        }
+    )
+    cfg = DedupConfig(bucket_pair_cap=16, shingle_k=3, jaccard_threshold=0.6)
+    res = cluster_corpus(
+        ray.data.from_arrow(tbl).materialize(), cfg, with_containment=False
+    )
+    rows = {r["doc_id"]: r["cluster_id"] for r in res.assignments.take_all()}
+    # connectivity survived the cap: one cluster holds every license doc
+    assert len({rows[d] for d in range(200)}) == 1
+    # the giant bucket is visible in the skew histogram
+    assert res.metrics["lsh_bucket_max"] == 200
+    # pair volume bounded: C(200,2) = 19,900 all-pairs edges would have
+    # been emitted uncapped; chain+star emits 397 per bucket (deduped
+    # across bands), plus whatever the 40 distinct docs contribute
+    assert res.metrics["n_candidates"] < 2000

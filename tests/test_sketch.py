@@ -293,3 +293,39 @@ def test_hll_pipeline_end_to_end_python_oracle(ray_session, tmp_path):
         want[lang] = int(round(est))
     got = dict(zip(out["lang"], out["n_distinct_hll"]))
     assert got == want
+
+
+def test_hash_strings_property_matches_scalar_reference():
+    """Property test: on arbitrary unicode strings (plus nulls, empties,
+    NUL bytes, sliced/offset arrays) the vectorized segmented hash must
+    equal the per-string scalar reference. Three shuffle families key on
+    this kernel (line dedup, windowed events, coarse partitions), so its
+    offset arithmetic is load-bearing. The >2 GiB regime itself can't be
+    allocated in a test; the cast to large_string (int64 offsets) plus
+    the slicing cases here pin the arithmetic that regime relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(max_size=80),
+                st.text(alphabet="\x00\x01ab é日", max_size=300),
+            ),
+            max_size=40,
+        ),
+        st.integers(min_value=0, max_value=5),
+    )
+    def check(strs, offset):
+        want = np.array(
+            [_ref_hash(s if s is not None else "") for s in strs], np.uint64
+        )
+        got = hash_strings_u64(pa.array(strs, pa.string()))
+        np.testing.assert_array_equal(got, want)
+        # sliced (non-zero offset) array must hash identically
+        padded = pa.array(["pad"] * offset + strs, pa.string()).slice(offset)
+        np.testing.assert_array_equal(hash_strings_u64(padded), want)
+
+    check()

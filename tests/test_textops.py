@@ -162,3 +162,44 @@ def test_fingerprint64_blake2b_branch_flags_sql_twin(tmp_path):
     # rows the twin does emit agree with the pipeline
     merged = twin.merge(got, on="doc_id", suffixes=("_sql", "_ray"))
     assert (merged["fp64_sql"] == merged["fp64_ray"]).all()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "fn_name",
+    [
+        "docs_token_count",
+        "docs_token_count_bpe",
+        "docs_train_split",
+        "docs_fingerprint",
+        "docs_fingerprint64",
+        "docs_lang_id",
+        "docs_quality",
+        "docs_scrub_pii",
+        "docs_repetition_stats",
+    ],
+)
+def test_parquet_sink_twin_matches_dataframe_path(fn_name, tmp_path):
+    """Every per-document pipeline has a distributed parquet sink twin
+    (``out_dir=``): workers stream the result straight to parquet and
+    nothing funnels through driver pandas — the 100x-scale path. The
+    twin must carry byte-identical rows to the DataFrame path."""
+    import pandas as pd
+
+    from cloud_dedup_ray.pipelines import textops
+
+    fn = getattr(textops, fn_name)
+    sf = "/root/testdata/sf0.001"
+    df = fn(sf)
+    out_dir = str(tmp_path / fn_name)
+    assert fn(sf, out_dir=out_dir) == out_dir
+    back = (
+        pd.read_parquet(out_dir)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        back[df.columns.tolist()], df, check_exact=True
+    )
