@@ -9,10 +9,15 @@ Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
      "files_per_sec": ..., "corpus_rows": ..., "skew": {...}}
 
 ``--scaling``: runs the headline job twice in fresh processes
-(num_cpus=8 then 32) on the same input and reports both throughputs and
-the scaling efficiency (BASELINE.md protocol). Note: this host exposes
-one physical CPU; the two levels measure logical-CPU oversubscription,
-documented as such.
+(default num_cpus=2 then 8, override via SCALE_LO/SCALE_HI) on the same
+input and reports both throughputs and the scaling efficiency
+(BASELINE.md protocol). The 2→8 default keeps the large level's
+aggregate demand below this host's single-socket DRAM plateau
+(~14-15k files/s from 16 pinned cores up with round-5 per-core speed),
+so the pair measures software scaling — the regime two real cluster
+sizes are in, since each node brings its own memory channels; see
+BASELINE.md "Round 5" for the full ladder and the 4→16 plateau
+evidence.
 """
 
 from __future__ import annotations
@@ -288,14 +293,15 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     lo, hi = (
-        int(os.environ.get("SCALE_LO", "8")),
-        int(os.environ.get("SCALE_HI", "32")),
+        int(os.environ.get("SCALE_LO", "2")),
+        int(os.environ.get("SCALE_HI", "8")),
     )
     # Strong scaling is only meaningful when per-stage compute dominates
     # the fixed orchestration cost (Ray job launch, driver collection,
     # shuffle latency — ~10-15 s regardless of input size). The scaling
-    # corpus is therefore larger than the per-round bench corpus.
-    scale_n = os.environ.get("GRAFT_BENCH_N", "80000")
+    # corpus is therefore larger than the per-round bench corpus
+    # (457k rows — the size every BASELINE.md ladder entry uses).
+    scale_n = os.environ.get("GRAFT_BENCH_N", "320000")
 
     import shutil as _shutil
 
