@@ -56,7 +56,7 @@ def _sink_or_pandas(ds: ray.data.Dataset, sort_keys, out_dir: str | None):
     return out.sort_values(sort_keys).reset_index(drop=True)
 
 
-def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
+def docs_exact_dedup(sf_dir: str, out_dir: str | None = None):
     """Exact dedup: hash-partition on md5(text), keep min doc_id as the
     representative (groupby shuffle on the digest — the E3 pattern)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -66,16 +66,18 @@ def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Count, Min
 
-    out = (
+    return _sink_or_pandas(
         ds.map_batches(hashed, batch_format="pyarrow")
         .groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies"))
-        .to_pandas()
+        .aggregate(
+            Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies")
+        ),
+        "content_hash",
+        out_dir,
     )
-    return out.sort_values("content_hash").reset_index(drop=True)
 
 
-def docs_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+def docs_dedup_keep_best(sf_dir: str, out_dir: str | None = None):
     """Quality-ranked dedup: group docs by the md5 of their whitespace-
     normalized lowercase text (so copies that differ only in case or
     spacing collide) and keep the highest-quality copy per group, tie
@@ -106,13 +108,13 @@ def docs_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
+    return _sink_or_pandas(
         ds.map_batches(scored, batch_format="pyarrow")
         .groupby("fingerprint")
-        .map_groups(best, batch_format="pandas")
-        .to_pandas()
+        .map_groups(best, batch_format="pandas"),
+        "fingerprint",
+        out_dir,
     )
-    return out.sort_values("fingerprint").reset_index(drop=True)
 
 
 def docs_token_count(sf_dir: str, out_dir: str | None = None):
@@ -244,10 +246,14 @@ def docs_quality(sf_dir: str, out_dir: str | None = None):
     )
 
 
-def docs_minhash_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
+def docs_minhash_clusters(
+    sf_dir: str, cfg: DedupConfig | None = None, out_dir: str | None = None
+):
     """MinHash-LSH near-dup clustering over documents.text, reusing the
     full near-dup pipeline (actor-pool signer → banded groupby →
-    union-find)."""
+    union-find). With ``out_dir`` the assignments Dataset streams to
+    partitioned parquet (the same sink shape ``cli.py`` uses for corpus
+    clusters) instead of funneling through driver pandas."""
     from cloud_dedup_ray.pipelines.neardup import cluster_corpus
 
     cfg = cfg or DedupConfig(shingle_k=3, jaccard_threshold=0.6)
@@ -256,11 +262,10 @@ def docs_minhash_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.Dat
         batch_format="pyarrow",
     ).materialize()
     res = cluster_corpus(ds, cfg, with_containment=False)
-    out = res.assignments.to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _sink_or_pandas(res.assignments, "doc_id", out_dir)
 
 
-def docs_simhash(sf_dir: str) -> pd.DataFrame:
+def docs_simhash(sf_dir: str, out_dir: str | None = None):
     """64-bit SimHash per doc (bit-cast to int64 for Arrow transport)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -268,8 +273,9 @@ def docs_simhash(sf_dir: str) -> pd.DataFrame:
         vals = simhash_tokens_batch(normalize(t["text"]).to_pylist())
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(vals.view(np.int64))})
 
-    out = ds.map_batches(sh, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _sink_or_pandas(
+        ds.map_batches(sh, batch_format="pyarrow"), "doc_id", out_dir
+    )
 
 
 def docs_simhash_pairs(

@@ -168,20 +168,24 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize(
-    "fn_name",
+    "fn_name,sort_key",
     [
-        "docs_token_count",
-        "docs_token_count_bpe",
-        "docs_train_split",
-        "docs_fingerprint",
-        "docs_fingerprint64",
-        "docs_lang_id",
-        "docs_quality",
-        "docs_scrub_pii",
-        "docs_repetition_stats",
+        ("docs_token_count", "doc_id"),
+        ("docs_token_count_bpe", "doc_id"),
+        ("docs_train_split", "doc_id"),
+        ("docs_fingerprint", "doc_id"),
+        ("docs_fingerprint64", "doc_id"),
+        ("docs_lang_id", "doc_id"),
+        ("docs_quality", "doc_id"),
+        ("docs_scrub_pii", "doc_id"),
+        ("docs_repetition_stats", "doc_id"),
+        ("docs_simhash", "doc_id"),
+        ("docs_minhash_clusters", "doc_id"),
+        ("docs_exact_dedup", "content_hash"),
+        ("docs_dedup_keep_best", "fingerprint"),
     ],
 )
-def test_parquet_sink_twin_matches_dataframe_path(fn_name, tmp_path):
+def test_parquet_sink_twin_matches_dataframe_path(fn_name, sort_key, tmp_path):
     """Every per-document pipeline has a distributed parquet sink twin
     (``out_dir=``): workers stream the result straight to parquet and
     nothing funnels through driver pandas — the 100x-scale path. The
@@ -197,7 +201,7 @@ def test_parquet_sink_twin_matches_dataframe_path(fn_name, tmp_path):
     assert fn(sf, out_dir=out_dir) == out_dir
     back = (
         pd.read_parquet(out_dir)
-        .sort_values("doc_id")
+        .sort_values(sort_key)
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(
