@@ -266,33 +266,78 @@ def quality_score(feats: dict[str, pa.Array]) -> pa.Array:
 def fingerprint64(texts: pa.Array, window: int = 16) -> pa.Array:
     """64-bit document fingerprint: XOR of the minima of rolling-hash
     windows over the normalized text (a winnowing-style selection, cf.
-    Schleimer et al. 2003). Deterministic and order-stable."""
-    out = np.zeros(len(texts), np.uint64)
-    for i, t in enumerate(normalize(texts).to_pylist()):
-        if not t:
-            continue
-        data = t.encode()
-        if len(data) <= window:
+    Schleimer et al. 2003). Deterministic and order-stable.
+
+    Vectorized ACROSS the batch: the window hashes for every document
+    are computed in one pass of ``window`` strided adds over the flat
+    UTF-8 buffer (window positions that straddle a document boundary
+    are computed but never read — each doc only consumes its own
+    ``len - window + 1`` valid positions), and the winnowing minima +
+    per-doc XOR folds run as two ``reduceat`` sweeps. Only texts whose
+    normalized form is 1..window bytes take the per-doc blake2b branch
+    (cryptographic hash — not vectorizable, and those docs are cheap).
+    Equivalence with the per-document reference implementation is
+    property-tested (tests/test_textops.py)."""
+    norm = normalize(texts)
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    n = len(norm)
+    out = np.zeros(n, np.uint64)
+    if n == 0:
+        return pa.array(out.view(np.int64))
+    norm = norm.cast(pa.large_string())
+    bufs = norm.buffers()
+    offsets = np.frombuffer(bufs[1], np.int64, n + 1, 8 * norm.offset)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    data = np.frombuffer(bufs[2], np.uint8, hi - lo, lo)
+    starts = (offsets[:-1] - lo).astype(np.int64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+
+    # short docs (1..window bytes): blake2b per doc, loop only over them
+    short = np.flatnonzero((lens > 0) & (lens <= window))
+    if short.size:
+        db = data.tobytes()
+        for i in short:
+            seg = db[starts[i] : starts[i] + lens[i]]
             out[i] = np.uint64(
-                int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+                int.from_bytes(hashlib.blake2b(seg, digest_size=8).digest(), "big")
             )
-            continue
-        # polynomial rolling hash over bytes, vectorized with cumulative powers
-        arr = np.frombuffer(data, np.uint8).astype(np.uint64)
-        base = np.uint64(1099511628211)
-        # hash of window starting at i: sum(arr[i+j] * base**(w-1-j)) mod 2^64
+
+    longm = np.flatnonzero(lens > window)
+    if longm.size == 0:
+        return pa.array(out.view(np.int64))
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
         pows = np.empty(window, np.uint64)
         pows[-1] = 1
         for j in range(window - 2, -1, -1):
             pows[j] = pows[j + 1] * base
-        n_win = len(arr) - window + 1
-        hashes = np.zeros(n_win, np.uint64)
+        # hash of the window starting at flat position i:
+        # sum(data[i+j] * base**(w-1-j)) mod 2^64 — one global pass
+        n_win_global = data.size - window + 1
+        u = data.astype(np.uint64)
+        hashes = np.zeros(n_win_global + 1, np.uint64)  # +1 sentinel slot
         for j in range(window):
-            hashes += arr[j : j + n_win] * pows[j]
-        # winnow: min per chunk of `window` consecutive window-hashes
-        n_chunks = (n_win + window - 1) // window
-        acc = np.uint64(0)
-        for c in range(n_chunks):
-            acc ^= hashes[c * window : (c + 1) * window].min()
-        out[i] = acc
+            hashes[:n_win_global] += u[j : j + n_win_global] * pows[j]
+    # winnow per doc: minima over chunks of `window` consecutive valid
+    # window positions [s_d, s_d + n_win_d), then XOR the chunk minima.
+    s = starts[longm]
+    n_win = lens[longm] - window + 1
+    n_chunks = (n_win + window - 1) // window
+    cum = np.zeros(len(longm), np.int64)
+    np.cumsum(n_chunks[:-1], out=cum[1:])
+    tot = int(cum[-1] + n_chunks[-1])
+    doc_of = np.repeat(np.arange(len(longm)), n_chunks)
+    k = np.arange(tot) - cum[doc_of]
+    chunk_lo = s[doc_of] + window * k
+    chunk_hi = np.minimum(chunk_lo + window, (s + n_win)[doc_of])
+    # interleaved (lo, hi) reduceat: even segments are the real chunks,
+    # odd segments ([hi_i, lo_{i+1}) — boundary garbage) are discarded.
+    # chunk_hi can equal n_win_global for the batch's last chunk, which
+    # reduceat rejects as an index — hence the sentinel slot above.
+    idx = np.empty(2 * tot, np.int64)
+    idx[0::2] = chunk_lo
+    idx[1::2] = chunk_hi
+    chunk_min = np.minimum.reduceat(hashes, idx)[0::2]
+    out[longm] = np.bitwise_xor.reduceat(chunk_min, cum)
     return pa.array(out.view(np.int64))

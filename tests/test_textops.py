@@ -207,3 +207,71 @@ def test_parquet_sink_twin_matches_dataframe_path(fn_name, sort_key, tmp_path):
     pd.testing.assert_frame_equal(
         back[df.columns.tolist()], df, check_exact=True
     )
+
+
+def test_fingerprint64_batch_vectorization_matches_per_doc_reference():
+    """The batch-vectorized fingerprint64 (flat-buffer window hashes +
+    reduceat winnowing) must be byte-identical to the straightforward
+    per-document reference on adversarial inputs: nulls, empties,
+    whitespace-only (normalizes to ''), exactly-window-byte texts
+    (blake2b branch), window+1 boundary, multi-byte UTF-8, and long
+    random docs — across batch compositions (order and neighbors must
+    not matter) and sliced arrays."""
+    import hashlib
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from cloud_dedup_ray.functions.text import fingerprint64, normalize
+
+    def ref(texts: pa.Array, window: int = 16) -> list[int]:
+        out = np.zeros(len(texts), np.uint64)
+        for i, t in enumerate(normalize(texts).to_pylist()):
+            if not t:
+                continue
+            data = t.encode()
+            if len(data) <= window:
+                out[i] = np.uint64(int.from_bytes(
+                    hashlib.blake2b(data, digest_size=8).digest(), "big"))
+                continue
+            arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+            base = np.uint64(1099511628211)
+            pows = np.empty(window, np.uint64)
+            pows[-1] = 1
+            with np.errstate(over="ignore"):
+                for j in range(window - 2, -1, -1):
+                    pows[j] = pows[j + 1] * base
+                n_win = len(arr) - window + 1
+                hashes = np.zeros(n_win, np.uint64)
+                for j in range(window):
+                    hashes += arr[j: j + n_win] * pows[j]
+            n_chunks = (n_win + window - 1) // window
+            acc = np.uint64(0)
+            for c in range(n_chunks):
+                acc ^= hashes[c * window: (c + 1) * window].min()
+            out[i] = acc
+        return out.view(np.int64).tolist()
+
+    rng = random.Random(17)
+    alphabet = "abcdef ghij.kl-mn \tXYZ japon日本語é"
+    pool = [
+        None, "", "   ", "\t\n ", "x", "short one", "0123456789abcdef",
+        "0123456789abcdefg", "é" * 8, "日" * 6,
+    ] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 400)))
+        for _ in range(60)
+    ]
+    for trial in range(8):
+        batch = [rng.choice(pool) for _ in range(rng.randrange(1, 50))]
+        arr = pa.array(batch, pa.string())
+        assert fingerprint64(arr).to_pylist() == ref(arr)
+        # sliced (non-zero offset) input must match too
+        sliced = pa.array(["pad", "pad2"] + batch, pa.string()).slice(2)
+        assert fingerprint64(sliced).to_pylist() == ref(arr)
+    # chunked input (map_batches hands ChunkedArray columns)
+    chunked = pa.chunked_array([pool[:5], pool[5:10]])
+    flat = pa.array(pool[:10], pa.string())
+    assert fingerprint64(chunked).to_pylist() == ref(flat)
+    # empty batch
+    assert fingerprint64(pa.array([], pa.string())).to_pylist() == []
