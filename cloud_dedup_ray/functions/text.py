@@ -38,30 +38,22 @@ def token_count(texts: pa.Array) -> pa.Array:
     return pc.if_else(blank, pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
 
 
-# GPT-2-style pre-tokenizer (ASCII classes so the Python `re` count and
-# the DuckDB RE2 twin match token-for-token): contraction suffixes,
+# GPT-2-style pre-tokenizer (ASCII classes): contraction suffixes,
 # space-prefixed letter runs, digit runs, punctuation runs. Whitespace
-# itself is not a token. re.ASCII pins \s to ASCII whitespace — RE2's
-# \s is ASCII-only, and without the flag Python treats NBSP/\x0b as
-# whitespace while RE2 counts them as punctuation (off-by-one tokens).
-_BPE_PRETOKEN = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+",
-    re.ASCII,
-)
+# itself is not a token. Counted with Arrow's RE2 engine — the SAME
+# engine DuckDB's regexp_extract_all twin uses, so the pipeline and the
+# oracle agree by construction (a prior Python `re.ASCII` counter
+# silently diverged on \x0b: ASCII \s includes \v, RE2's \s does not).
+_BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 
 def token_count_bpe(texts: pa.Array) -> pa.Array:
     """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
     regex (the standard proxy for LLM token budgets when the real BPE
-    merges aren't needed). SQL twin:
-    ``len(regexp_extract_all(text, <same pattern>))``."""
-    return pa.array(
-        [
-            len(_BPE_PRETOKEN.findall(t)) if t else 0
-            for t in texts.to_pylist()
-        ],
-        pa.int64(),
-    )
+    merges aren't needed), one vectorized RE2 pass over the batch.
+    SQL twin: ``len(regexp_extract_all(text, <same pattern>))``."""
+    n = pc.count_substring_regex(texts, _BPE_PRETOKEN)
+    return pc.cast(pc.fill_null(n, 0), pa.int64())
 
 
 def char_ngrams(text: str, n: int) -> set[str]:
@@ -201,6 +193,11 @@ def lang_id_one(text: str) -> str:
 
 
 def lang_id(texts: pa.Array) -> pa.Array:
+    """Per-document :func:`lang_id_one` over a batch. Deliberately NOT
+    rewritten onto Arrow kernels: the hot part is 32 substring counts
+    per document, and CPython's ``str.count`` (two-way memmem, ~GB/s)
+    beats ``pc.count_substring`` (~0.36 GB/s measured) by ~2× on this
+    shape, so the loop over documents IS the fast path here."""
     return pa.array([lang_id_one(t) if t is not None else "und"
                      for t in texts.to_pylist()], pa.string())
 
@@ -217,30 +214,55 @@ def quality_features(texts: pa.Array) -> dict[str, pa.Array]:
     """Cheap quality features: char length, token count, mean token
     length, alpha ratio, stopword ratio. The first three have exact SQL
     twins; ratios are verified rows-only."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
     n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
     n_tokens = token_count(texts)
     # ONE tokenization for every token-derived feature, and the SAME
     # RE2 \s+ split the n_tokens column and the DuckDB twin use —
     # mixing Python str.split() (Unicode \s) in here would make
     # mean/stop ratios inconsistent with their own n_tokens denominator
-    # on NBSP/\x0b-bearing text
-    toks_col = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(texts), r"\s+"
-    ).to_pylist()
-    py = texts.to_pylist()
-    mean_tok = np.zeros(len(py), np.float64)
-    alpha_ratio = np.zeros(len(py), np.float64)
-    stop_ratio = np.zeros(len(py), np.float64)
-    for i, t in enumerate(py):
-        if not t:
-            continue
-        toks = [w for w in (toks_col[i] or []) if w]
-        if toks:
-            mean_tok[i] = sum(len(w) for w in toks) / len(toks)
-            lowered = [w.lower() for w in toks]
-            stop_ratio[i] = sum(w in _STOPWORDS for w in lowered) / len(toks)
-        n_alpha = sum(ch.isalpha() for ch in t)
-        alpha_ratio[i] = n_alpha / len(t)
+    # on NBSP/\x0b-bearing text. All three ratios are batch-vectorized
+    # (list_flatten + bincount over parent indices; per-codepoint
+    # isalpha via a unique-codepoint lookup table) — bit-identical to
+    # the per-document loop (equivalence test in tests/test_functions.py).
+    mean_tok = np.zeros(n, np.float64)
+    alpha_ratio = np.zeros(n, np.float64)
+    stop_ratio = np.zeros(n, np.float64)
+    if n:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = tok_len > 0  # split('') yields [''] — not a token
+        cnt = np.bincount(parents[keep], minlength=n).astype(np.float64)
+        sum_len = np.bincount(
+            parents[keep], weights=tok_len[keep], minlength=n
+        )
+        is_stop = pc.is_in(
+            pc.utf8_lower(flat), value_set=pa.array(sorted(_STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        stop_cnt = np.bincount(parents[keep & is_stop], minlength=n)
+        has = cnt > 0
+        mean_tok[has] = sum_len[has] / cnt[has]
+        stop_ratio[has] = stop_cnt[has] / cnt[has]
+        # alpha ratio: Python str.isalpha per codepoint, evaluated once
+        # per DISTINCT codepoint in the batch, then gathered
+        filled = pc.fill_null(texts, "")
+        joined = "".join(filled.to_pylist())
+        if joined:
+            cps = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+            lens = pc.utf8_length(filled).to_numpy(zero_copy_only=False)
+            ends = np.cumsum(lens)
+            uniq, inv = np.unique(cps, return_inverse=True)
+            amap = np.fromiter(
+                (chr(int(c)).isalpha() for c in uniq), bool, len(uniq)
+            )
+            cum = np.concatenate(([0], np.cumsum(amap[inv])))
+            n_alpha = cum[ends] - cum[ends - lens]
+            pos = lens > 0
+            alpha_ratio[pos] = n_alpha[pos] / lens[pos]
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,

@@ -335,3 +335,107 @@ def test_projected_doc_ids_unique_per_version(tmp_path):
         .to_pandas()
     )
     assert df["doc_id"].nunique() == len(df)
+
+
+def test_token_count_bpe_matches_re2_oracle_and_python_reference():
+    """token_count_bpe now counts with Arrow's RE2 engine — the same
+    engine the DuckDB regexp_extract_all twin uses. It must equal the
+    straightforward Python re.ASCII reference everywhere EXCEPT \\x0b
+    (ASCII \\s includes \\v, RE2's \\s does not — the documented fix),
+    where it must equal DuckDB instead."""
+    import random
+    import re
+
+    import duckdb
+
+    from cloud_dedup_ray.functions.text import token_count_bpe
+
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    py = re.compile(pat, re.ASCII)
+    rng = random.Random(5)
+    alphabet = "abc XY 01 .!? '\t\n\xa0日é"
+    pool = [None, "", "don't stop", "it's 123!!", " lead", "a'll we've",
+            "'s", "x" * 300] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 200)))
+        for _ in range(40)
+    ]
+    arr = pa.array(pool, pa.string())
+    got = token_count_bpe(arr).to_pylist()
+    want = [len(py.findall(t)) if t else 0 for t in
+            (x if x is not None else "" for x in pool)]
+    assert got == want
+    # sliced + chunked inputs
+    assert token_count_bpe(
+        pa.array(["p", "q"] + pool, pa.string()).slice(2)
+    ).to_pylist() == want
+    assert token_count_bpe(
+        pa.chunked_array([pool[:4], pool[4:]])
+    ).to_pylist() == want
+    # the \x0b divergence: pipeline now sides with its own SQL twin
+    vt = ["\x0bvert", "a\x0bb"]
+    con = duckdb.connect()
+    duck = [con.execute(
+        "SELECT len(regexp_extract_all(?, ?))", [t, pat]).fetchone()[0]
+        for t in vt]
+    assert token_count_bpe(pa.array(vt)).to_pylist() == duck
+    assert duck != [len(py.findall(t)) for t in vt]  # and the old Python differed
+
+
+def test_quality_features_vectorization_matches_per_doc_reference():
+    """The batch-vectorized quality_features (list_flatten + bincount,
+    unique-codepoint isalpha lookup) must be bit-identical to the
+    per-document reference loop on adversarial inputs: nulls, empties,
+    whitespace-only, multi-byte UTF-8, stopword-dense text — across
+    batch order, slicing and chunking."""
+    import random
+
+    import pyarrow.compute as pc
+
+    from cloud_dedup_ray.functions.text import _STOPWORDS, quality_features
+
+    def ref(texts):
+        toks_col = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(texts), r"\s+"
+        ).to_pylist()
+        py = texts.to_pylist()
+        m = np.zeros(len(py)); al = np.zeros(len(py)); st = np.zeros(len(py))
+        for i, t in enumerate(py):
+            if not t:
+                continue
+            toks = [w for w in (toks_col[i] or []) if w]
+            if toks:
+                m[i] = sum(len(w) for w in toks) / len(toks)
+                low = [w.lower() for w in toks]
+                st[i] = sum(w in _STOPWORDS for w in low) / len(toks)
+            al[i] = sum(ch.isalpha() for ch in t) / len(t)
+        return m, al, st
+
+    rng = random.Random(23)
+    words = ("the and of to in is THE On with 日本語 ぁけコ é ß ﬀ Ⅻ 123 !?. x"
+             "\t\n").split(" ")
+    pool = [None, "", " ", "\t\n", "the the the", "a b c", "日本語 テキスト",
+            "ﬀⅫß", "123 456", "."] + [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(1, 80)))
+        for _ in range(40)
+    ]
+    for trial in range(6):
+        batch = [rng.choice(pool) for _ in range(rng.randrange(1, 50))]
+        arr = pa.array(batch, pa.string())
+        f = quality_features(arr)
+        m, al, st = ref(arr)
+        assert np.array_equal(np.asarray(f["mean_token_len"]), m)
+        assert np.array_equal(np.asarray(f["alpha_ratio"]), al)
+        assert np.array_equal(np.asarray(f["stopword_ratio"]), st)
+        sliced = pa.array(["pad", "pad2"] + batch, pa.string()).slice(2)
+        fs = quality_features(sliced)
+        assert np.array_equal(np.asarray(fs["alpha_ratio"]), al)
+        assert np.array_equal(np.asarray(fs["mean_token_len"]), m)
+    chunked = pa.chunked_array([pool[:5], pool[5:10]])
+    flat = pa.array(pool[:10], pa.string())
+    fc, ff = quality_features(chunked), quality_features(flat)
+    for k in ("mean_token_len", "alpha_ratio", "stopword_ratio", "n_tokens"):
+        a, b = fc[k], ff[k]
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        assert a.to_pylist() == b.to_pylist()  # null-safe (n_tokens keeps nulls)
+    empty = quality_features(pa.array([], pa.string()))
+    assert len(empty["mean_token_len"]) == 0
