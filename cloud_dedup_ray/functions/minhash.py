@@ -57,12 +57,26 @@ class MinHasher:
         ``chunk_shingles`` bounds the (chunk × num_perm × 8B) temporary.
         """
         n_docs = len(shingle_sets)
-        out = np.full((n_docs, self.num_perm), _MERSENNE61, np.uint64)
         lens = np.fromiter((s.size for s in shingle_sets), np.int64, n_docs)
+        if lens.sum() == 0:
+            flat = np.empty(0, np.uint64)
+        else:
+            flat = np.concatenate([s for s in shingle_sets if s.size])
+        return self.signatures_flat(flat, lens, chunk_shingles)
+
+    def signatures_flat(
+        self, flat: np.ndarray, lens: np.ndarray, chunk_shingles: int = 1 << 16
+    ) -> np.ndarray:
+        """Flat form of :meth:`signatures`: concatenated shingle hashes
+        (doc-major) + per-doc lengths → (n_docs, num_perm)."""
+        n_docs = lens.size
+        out = np.full((n_docs, self.num_perm), _MERSENNE61, np.uint64)
         nonempty = np.nonzero(lens > 0)[0]
         if nonempty.size == 0:
             return out
-        # chunk document ranges so each concat stays bounded
+        doc_starts = np.zeros(n_docs, np.int64)
+        np.cumsum(lens[:-1], out=doc_starts[1:])
+        # chunk document ranges so each (chunk × num_perm) temp stays bounded
         start = 0
         while start < nonempty.size:
             end = start
@@ -73,8 +87,8 @@ class MinHasher:
                 total += lens[nonempty[end]]
                 end += 1
             docs = nonempty[start:end]
-            flat = np.concatenate([shingle_sets[i] for i in docs])
-            x = (flat & _MERSENNE61)[:, None]
+            sub = flat[doc_starts[docs[0]] : doc_starts[docs[-1]] + lens[docs[-1]]]
+            x = (sub & _MERSENNE61)[:, None]
             v = x * self.a[None, :] + self.b[None, :]
             v = (v & _MERSENNE61) + (v >> np.uint64(61))
             v = np.where(v >= _MERSENNE61, v - _MERSENNE61, v)
@@ -125,18 +139,38 @@ class OnePermMinHasher:
     def signatures(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
         """list of uint64 shingle arrays → (n_docs, num_perm) uint64."""
         n_docs = len(shingle_sets)
-        k = self.num_perm
-        out = np.full((n_docs, k), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
         lens = np.fromiter((s.size for s in shingle_sets), np.int64, n_docs)
         if lens.sum() == 0:
+            flat = np.empty(0, np.uint64)
+        else:
+            flat = np.concatenate([s for s in shingle_sets if s.size])
+        return self.signatures_flat(flat, lens)
+
+    def signatures_flat(self, flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Flat form: concatenated shingle hashes + per-doc lengths →
+        (n_docs, num_perm) uint64. The per-(doc, bin) minimum runs as
+        argsort + ``np.minimum.reduceat`` — ~4× faster than the
+        ``np.minimum.at`` unbuffered scatter it replaces (identical
+        result: both compute the exact group minimum)."""
+        n_docs = lens.size
+        k = self.num_perm
+        out = np.full((n_docs, k), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+        if flat.size == 0:
             return np.tile(self.empty, (n_docs, 1))
-        flat = np.concatenate([s for s in shingle_sets if s.size])
         mixed = _splitmix64(flat ^ self.seed_tweak)
         bins = (mixed >> np.uint64(self.val_bits)).astype(np.int64)
         vals = mixed & ((np.uint64(1) << np.uint64(self.val_bits)) - np.uint64(1))
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        # per-(doc, bin) minimum via one unbuffered scatter-min
-        np.minimum.at(out.reshape(-1), doc_idx * k + bins, vals)
+        keys = doc_idx * k + bins
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.empty(ks.size, bool)
+        starts[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=starts[1:])
+        group_starts = np.flatnonzero(starts)
+        out.reshape(-1)[ks[group_starts]] = np.minimum.reduceat(
+            vals[order], group_starts
+        )
         return self._densify(out, lens)
 
     def _densify(self, out: np.ndarray, lens: np.ndarray) -> np.ndarray:

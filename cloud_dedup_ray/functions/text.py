@@ -156,6 +156,126 @@ def token_shingles_hashed(
     return np.unique(acc)
 
 
+def _shingle_pows(k: int) -> np.ndarray:
+    """pows[j] = BASE^(k-1-j) mod 2^64 — the same power ladder the
+    per-doc rolling polynomial builds."""
+    pows = np.empty(k, np.uint64)
+    pows[-1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(k - 2, -1, -1):
+            pows[j] = pows[j + 1] * _SHINGLE_BASE
+    return pows
+
+
+def token_shingles_hashed_batch(
+    texts: pa.Array,
+    k: int,
+    cache: TokenHashCache,
+    min_doc_chars: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of the signer's per-document shingling over a column
+    of RAW texts: for each row, bit-identical to
+    ``token_shingles_hashed(normalize(t), k)`` when
+    ``len(normalize(t)) >= min_doc_chars`` and an empty set otherwise
+    (null/blank rows included) — equivalence-tested in
+    tests/test_functions.py. Returns ``(flat, lens)``: the doc-major
+    concatenation of every document's sorted-unique shingle-hash array
+    plus per-document lengths.
+
+    Vectorized ACROSS the batch, and fuses normalization into the
+    tokenizer: normalize's collapse-and-trim pass exists only so a
+    single-space split yields clean tokens, so splitting the LOWERED
+    text on ``\\s+`` directly produces the same token stream (empty
+    pieces dropped) and the normalized length falls out as
+    ``sum(len(tok)) + n_tok - 1`` — one RE2 pass instead of two. Each
+    DISTINCT token is hashed once (``dictionary_encode`` + the shared
+    memo cache) instead of one dict probe per token occurrence; the
+    k-window rolling polynomial runs as k strided adds over the flat
+    token-hash buffer (docs shorter than k tokens use their own
+    k' = n_tok ladder, grouped by k'); per-doc unique is an in-place
+    sort per document segment (many small cache-resident sorts beat
+    one global lexsort ~3×) + one vectorized adjacent-dedup sweep."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    lens_out = np.zeros(n, np.int64)
+    if n == 0:
+        return np.empty(0, np.uint64), lens_out
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+    flat_tok = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat_tok).to_numpy(zero_copy_only=False)
+    keep_tok = tok_len > 0
+    n_tok_all = np.bincount(parent[keep_tok], minlength=n)
+    norm_len = np.bincount(
+        parent[keep_tok], weights=tok_len[keep_tok], minlength=n
+    ).astype(np.int64) + np.maximum(n_tok_all - 1, 0)
+    active = (n_tok_all > 0) & (norm_len >= min_doc_chars)
+    if not active.any():
+        return np.empty(0, np.uint64), lens_out
+    keep_tok &= active[parent]
+    flat_tok = flat_tok.filter(pa.array(keep_tok))
+    act = np.flatnonzero(active)
+    n_tok = n_tok_all[act]
+    m = act.size
+    # one hash per DISTINCT token, memoized across batches
+    enc = flat_tok.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    c = cache.cache
+    if len(c) > cache.max_entries:
+        c.clear()
+    fn = cache.hash_fn
+    uh = np.empty(len(vocab), np.uint64)
+    for i, t in enumerate(vocab):
+        h = c.get(t)
+        if h is None:
+            h = fn(t)
+            c[t] = h
+        uh[i] = h
+    th = uh[enc.indices.to_numpy()]
+    starts = np.zeros(m, np.int64)
+    np.cumsum(n_tok[:-1], out=starts[1:])
+    # full-k windows in one global pass (boundary-straddling positions
+    # are computed but never read — each doc reads only its own range)
+    nw_global = th.size - k + 1
+    if nw_global > 0:
+        pows = _shingle_pows(k)
+        acc = np.zeros(nw_global, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc += th[j : j + nw_global] * pows[j]
+    else:  # every active doc is shorter than k tokens
+        acc = np.empty(0, np.uint64)
+    n_win = np.where(n_tok >= k, n_tok - k + 1, 1)  # short docs: one window
+    off = np.zeros(m, np.int64)
+    np.cumsum(n_win[:-1], out=off[1:])
+    total = int(off[-1] + n_win[-1])
+    doc_of = np.repeat(np.arange(m), n_win)
+    vals = np.empty(total, np.uint64)
+    big = n_tok >= k
+    big_rows = big[doc_of]
+    vals[big_rows] = acc[
+        (starts[doc_of] + (np.arange(total) - off[doc_of]))[big_rows]
+    ]
+    # short docs (0 < n_tok < k): one window with its own power ladder,
+    # grouped by token count so each group is a single vectorized gather
+    with np.errstate(over="ignore"):
+        for v in np.unique(n_tok[~big]):
+            rows = np.flatnonzero(n_tok == v)
+            mat = th[starts[rows][:, None] + np.arange(v)]
+            vals[off[rows]] = (mat * _shingle_pows(int(v))[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+    # per-doc sorted unique: small in-place segment sorts + one dedup sweep
+    for d in range(m):
+        vals[off[d] : off[d] + n_win[d]].sort()
+    keep = np.empty(total, bool)
+    keep[0] = True
+    keep[1:] = (doc_of[1:] != doc_of[:-1]) | (vals[1:] != vals[:-1])
+    lens_out[act] = np.bincount(doc_of[keep], minlength=m)
+    return vals[keep], lens_out
+
+
 # --- language ID (character n-gram heuristic, no external models) -----------
 
 # tiny per-language profiles: the most characteristic trigrams/stopwords of

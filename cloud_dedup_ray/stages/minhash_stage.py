@@ -19,8 +19,7 @@ from cloud_dedup_ray.functions.minhash import band_hashes, make_hasher
 from cloud_dedup_ray.stages import coarse
 from cloud_dedup_ray.functions.text import (
     TokenHashCache,
-    normalize,
-    token_shingles_hashed,
+    token_shingles_hashed_batch,
 )
 
 
@@ -42,22 +41,11 @@ class MinHashSigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = normalize(batch["content"]).to_pylist()
-        n = len(texts)
-        shingle_sets: list[np.ndarray] = []
-        n_shingles = np.empty(n, np.int64)
-        anchors: list[list[int]] = []
-        for i, t in enumerate(texts):
-            if t is None or len(t) < cfg.min_doc_chars:
-                shingles = np.empty(0, np.uint64)
-            else:
-                shingles = token_shingles_hashed(t, cfg.shingle_k, self.token_cache)
-            shingle_sets.append(shingles)
-            n_shingles[i] = shingles.size
-            anchors.append(
-                shingles[: cfg.containment_anchors].astype(np.int64).tolist()
-            )
-        sigs = self.hasher.signatures(shingle_sets)
+        flat, lens = token_shingles_hashed_batch(
+            batch["content"], cfg.shingle_k, self.token_cache,
+            cfg.min_doc_chars,
+        )
+        sigs = self.hasher.signatures_flat(flat, lens)
         bands = band_hashes(sigs, cfg.num_bands)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64)), cfg.num_perm
@@ -65,13 +53,27 @@ class MinHashSigner:
         band_col = pa.FixedSizeListArray.from_arrays(
             pa.array(bands.reshape(-1)), cfg.num_bands
         )
+        # anchors: first `containment_anchors` of each doc's sorted-unique
+        # shingles, sliced straight out of the flat buffer as a ListArray
+        doc_off = np.zeros(lens.size, np.int64)
+        np.cumsum(lens[:-1], out=doc_off[1:])
+        rep = np.minimum(lens, cfg.containment_anchors)
+        offs = np.zeros(lens.size + 1, np.int32)
+        np.cumsum(rep, out=offs[1:])
+        within = np.arange(int(offs[-1])) - offs[:-1][np.repeat(
+            np.arange(lens.size), rep
+        )]
+        take = doc_off[np.repeat(np.arange(lens.size), rep)] + within
+        anchor_col = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(flat[take].view(np.int64))
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_shingles": pa.array(n_shingles),
+                "n_shingles": pa.array(lens),
                 "sig": sig_col,
                 "bands": band_col,
-                "anchors": pa.array(anchors, pa.list_(pa.int64())),
+                "anchors": anchor_col,
             }
         )
 

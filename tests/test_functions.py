@@ -439,3 +439,100 @@ def test_quality_features_vectorization_matches_per_doc_reference():
         assert a.to_pylist() == b.to_pylist()  # null-safe (n_tokens keeps nulls)
     empty = quality_features(pa.array([], pa.string()))
     assert len(empty["mean_token_len"]) == 0
+
+
+def test_minhash_signer_batch_vectorization_matches_per_doc_reference():
+    """The batch signer (fused lower+\\s+ split, dictionary-encoded token
+    hashing, global k-window polynomial, segment-sort unique, flat OPH
+    signatures) must produce the SAME table — n_shingles, signatures,
+    band hashes, anchors — as the per-document construction
+    (normalize → token_shingles_hashed → hasher.signatures) on
+    adversarial batches: nulls, empties, whitespace-only, sub-k-token
+    docs, below-min_doc_chars docs, messy whitespace runs, multi-byte
+    UTF-8, chunked columns, empty batches."""
+    import random
+
+    from cloud_dedup_ray.config import DedupConfig
+    from cloud_dedup_ray.functions.minhash import band_hashes, make_hasher
+    from cloud_dedup_ray.functions.text import (
+        TokenHashCache,
+        token_shingles_hashed,
+    )
+    from cloud_dedup_ray.functions.text import normalize as _norm
+    from cloud_dedup_ray.stages.minhash_stage import MinHashSigner
+
+    def ref_call(batch, cfg):
+        hasher = make_hasher(cfg.minhash_scheme, cfg.num_perm, cfg.seed)
+        cache = TokenHashCache()
+        texts = _norm(batch["content"]).to_pylist()
+        n = len(texts)
+        sets, n_sh, anchors = [], np.empty(n, np.int64), []
+        for i, t in enumerate(texts):
+            if t is None or len(t) < cfg.min_doc_chars:
+                sh = np.empty(0, np.uint64)
+            else:
+                sh = token_shingles_hashed(t, cfg.shingle_k, cache)
+            sets.append(sh)
+            n_sh[i] = sh.size
+            anchors.append(
+                sh[: cfg.containment_anchors].astype(np.int64).tolist()
+            )
+        sigs = hasher.signatures(sets)
+        return n_sh, sigs, band_hashes(sigs, cfg.num_bands), anchors
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(300)] + list("(){};=") + ["日本", "é"]
+
+    def mktext():
+        r = rng.random()
+        if r < 0.05:
+            return None
+        if r < 0.10:
+            return ""
+        if r < 0.15:
+            return "  \t\n "
+        if r < 0.20:  # fewer tokens than shingle_k
+            return " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 5)))
+        if r < 0.25:
+            return "xy"  # below min_doc_chars
+        if r < 0.30:
+            return "  lead\t\ttabs  and   runs\nnewline  "
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 300)))
+
+    cfg = DedupConfig()
+    for trial in range(5):
+        texts = [mktext() for _ in range(rng.randrange(1, 300))]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "content": pa.array(texts, pa.string()),
+            }
+        )
+        out = MinHashSigner(cfg)(batch)
+        n_sh, sigs, bands, anchors = ref_call(batch, cfg)
+        assert out["n_shingles"].to_pylist() == n_sh.tolist()
+        got_sigs = np.asarray(
+            out["sig"].combine_chunks().flatten()
+        ).view(np.uint64).reshape(-1, cfg.num_perm)
+        assert np.array_equal(got_sigs, sigs)
+        got_bands = np.asarray(
+            out["bands"].combine_chunks().flatten()
+        ).reshape(-1, cfg.num_bands)
+        assert np.array_equal(got_bands, bands)
+        assert out["anchors"].to_pylist() == anchors
+    # chunked content column + empty batch
+    texts = [mktext() for _ in range(60)]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "content": pa.chunked_array([texts[:30], texts[30:]], pa.string()),
+        }
+    )
+    out = MinHashSigner(cfg)(batch)
+    n_sh, _, _, anchors = ref_call(batch, cfg)
+    assert out["n_shingles"].to_pylist() == n_sh.tolist()
+    assert out["anchors"].to_pylist() == anchors
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "content": pa.array([], pa.string())}
+    )
+    assert MinHashSigner(cfg)(empty).num_rows == 0
