@@ -158,31 +158,59 @@ def bucket_pairs_arrays(
     Dataset ``emit_bucket_pairs`` form and the flat-task exchange form
     (``neardup._collect_edges_flat``), so the two execution paths emit
     byte-identical edge sets. See ``emit_bucket_pairs`` for the pairing
-    and skew-cap semantics."""
+    and skew-cap semantics.
+
+    Vectorized group-by-size (a prior version looped Python over every
+    bucket — including the singleton majority — at ~5 s per 600k-row
+    partition): one lexsort dedups (bucket, id) pairs and yields every
+    bucket's sorted-unique member run; buckets of equal size b ≤ cap
+    emit their C(b,2) pairs as ONE fancy-indexed gather per distinct
+    size (chunked so the pair temp stays bounded); only over-cap
+    buckets (rare by construction) take a per-bucket path."""
     order = np.lexsort((ids, bk))
-    keys = bk[order]
+    kb, ki = bk[order], ids[order]
+    n = kb.size
+    if n == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    # sorted-unique members per bucket in one sweep
+    first = np.empty(n, bool)
+    first[0] = True
+    first[1:] = (kb[1:] != kb[:-1]) | (ki[1:] != ki[:-1])
+    ub, ui = kb[first], ki[first]
+    bstart = np.empty(ub.size, bool)
+    bstart[0] = True
+    bstart[1:] = ub[1:] != ub[:-1]
+    starts = np.flatnonzero(bstart)
+    sizes = np.diff(np.append(starts, ub.size)).astype(np.int64)
     a_out, b_out = [], []
-    sizes = []
-    for sl in coarse.group_slices(order, keys):
-        members = np.unique(ids[order[sl]])
-        b = len(members)
-        sizes.append(b)
-        if b < 2:
+    for v in np.unique(sizes):
+        v = int(v)
+        if v < 2:
             continue
-        if b <= cap:
-            ai, bi = np.triu_indices(b, k=1)
-            a, bb = members[ai], members[bi]
+        rows = starts[sizes == v]
+        if v <= cap:
+            ai, bi = np.triu_indices(v, k=1)
+            # bound the (m_chunk × C(v,2)) pair temp to ~4M entries
+            step = max(1, 4_000_000 // max(len(ai), 1))
+            for c in range(0, len(rows), step):
+                mat = ui[rows[c : c + step, None] + np.arange(v)]
+                a_out.append(mat[:, ai].ravel())
+                b_out.append(mat[:, bi].ravel())
         else:
-            rep = members[0]
-            a = np.concatenate([members[:-1], np.full(b - 1, rep)])
-            bb = np.concatenate([members[1:], members[1:]])
-            keep = a != bb
-            a, bb = a[keep], bb[keep]
-        a_out.append(a)
-        b_out.append(bb)
-    size_vals, size_counts = np.unique(
-        np.asarray(sizes, np.int64), return_counts=True
-    )
+            for s in rows:
+                members = ui[s : s + v]
+                rep = members[0]
+                a = np.concatenate([members[:-1], np.full(v - 1, rep)])
+                bb = np.concatenate([members[1:], members[1:]])
+                keep = a != bb
+                a_out.append(a[keep])
+                b_out.append(bb[keep])
+    size_vals, size_counts = np.unique(sizes, return_counts=True)
     if a_out:
         # in-task dedup: the same pair recurs across bands that hash
         # into this partition — dropping repeats here shrinks what

@@ -536,3 +536,63 @@ def test_minhash_signer_batch_vectorization_matches_per_doc_reference():
         {"doc_id": pa.array([], pa.int64()), "content": pa.array([], pa.string())}
     )
     assert MinHashSigner(cfg)(empty).num_rows == 0
+
+
+def test_bucket_pairs_arrays_vectorization_matches_per_bucket_reference():
+    """The group-by-size vectorized bucket-pair kernel must emit the
+    SAME (a, b, size_vals, size_counts) as the per-bucket reference
+    loop — including duplicate (bucket, id) rows, singleton-majority
+    distributions, over-cap chain+star buckets, and the empty input."""
+    from cloud_dedup_ray.stages import coarse
+    from cloud_dedup_ray.stages.minhash_stage import bucket_pairs_arrays
+
+    def ref(bk, ids, cap):
+        order = np.lexsort((ids, bk))
+        keys = bk[order]
+        a_out, b_out, sizes = [], [], []
+        for sl in coarse.group_slices(order, keys):
+            members = np.unique(ids[order[sl]])
+            b = len(members)
+            sizes.append(b)
+            if b < 2:
+                continue
+            if b <= cap:
+                ai, bi = np.triu_indices(b, k=1)
+                a, bb = members[ai], members[bi]
+            else:
+                rep = members[0]
+                a = np.concatenate([members[:-1], np.full(b - 1, rep)])
+                bb = np.concatenate([members[1:], members[1:]])
+                keep = a != bb
+                a, bb = a[keep], bb[keep]
+            a_out.append(a)
+            b_out.append(bb)
+        size_vals, size_counts = np.unique(
+            np.asarray(sizes, np.int64), return_counts=True
+        )
+        if a_out:
+            pairs = np.unique(
+                np.stack(
+                    [np.concatenate(a_out), np.concatenate(b_out)], axis=1
+                ),
+                axis=0,
+            )
+            return pairs[:, 0], pairs[:, 1], size_vals, size_counts.astype(np.int64)
+        e = np.empty(0, np.int64)
+        return e, e, size_vals, size_counts.astype(np.int64)
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        n_buckets = int(rng.integers(1, 20_000))
+        sizes = rng.choice([1, 1, 1, 1, 2, 2, 3, 4, 7], size=n_buckets)
+        if trial % 2 == 0 and n_buckets > 10:
+            sizes[:3] = [40, 15, 9]  # over-cap buckets for cap=8
+        bk = np.repeat(rng.integers(0, 2**62, n_buckets), sizes).astype(np.int64)
+        ids = rng.integers(0, 5_000, bk.size).astype(np.int64)
+        for cap in (8, 1600):
+            got = bucket_pairs_arrays(bk, ids, cap)
+            want = ref(bk, ids, cap)
+            for g, w in zip(got, want):
+                assert np.array_equal(g, w)
+    empty = bucket_pairs_arrays(np.empty(0, np.int64), np.empty(0, np.int64), 8)
+    assert all(len(x) == 0 for x in empty)
