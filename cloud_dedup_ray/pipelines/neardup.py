@@ -648,15 +648,31 @@ def _anchor_groups_arrays(
     the Dataset and flat-exchange discovery forms (identical groups).
     The packed form is the driver-memory contract: groups never
     materialize as Python tuples, only as int64 matrices."""
+    if anc.size == 0:
+        return {}
+    # vectorized group-by-size (same shape as the LSH bucket-pair
+    # kernel): one lexsort dedups (anchor, id) rows and yields each
+    # anchor's sorted-unique member run; equal-size groups pack into
+    # one (k, s) gather per distinct size
     order = np.lexsort((ids, anc))
-    by_size: dict[int, list[np.ndarray]] = {}
-    for sl in coarse.group_slices(order, anc[order]):
-        members = np.unique(ids[order[sl]])
-        if 2 <= len(members) <= cap:
-            by_size.setdefault(len(members), []).append(members)
-    return {
-        s: np.unique(np.vstack(rows), axis=0) for s, rows in by_size.items()
-    }
+    ka, ki = anc[order], ids[order]
+    first = np.empty(ka.size, bool)
+    first[0] = True
+    first[1:] = (ka[1:] != ka[:-1]) | (ki[1:] != ki[:-1])
+    ua, ui = ka[first], ki[first]
+    astart = np.empty(ua.size, bool)
+    astart[0] = True
+    astart[1:] = ua[1:] != ua[:-1]
+    starts = np.flatnonzero(astart)
+    sizes = np.diff(np.append(starts, ua.size))
+    out: dict[int, np.ndarray] = {}
+    for v in np.unique(sizes):
+        v = int(v)
+        if not 2 <= v <= cap:
+            continue
+        mat = ui[starts[sizes == v][:, None] + np.arange(v)]
+        out[v] = np.unique(mat, axis=0)
+    return out
 
 
 def _merge_group_mats(

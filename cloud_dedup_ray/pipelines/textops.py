@@ -340,31 +340,68 @@ def docs_simhash_pairs(
         cval = np.asarray(t["chunk_val"], np.int64)
         ids = np.asarray(t["doc_id"], np.int64)
         fps = np.asarray(t["fp"], np.int64).view(np.uint64)
-        order = np.lexsort((ids, cval, cid))
-        keys = np.stack([cid[order], cval[order]], axis=1)
         a_out, b_out, h_out = [], [], []
+        if len(ids) == 0:
+            order = np.empty(0, np.int64)
+        else:
+            order = np.lexsort((ids, cval, cid))
+        # vectorized group-by-size (same shape as the LSH bucket-pair
+        # kernel): dedup (bucket, id) rows — a doc's fp is constant, so
+        # keep-first is exact — then emit equal-size buckets' pairs +
+        # Hamming verify as ONE matrix op per distinct size
+        if len(order):
+            c1, c2, ki = cid[order], cval[order], ids[order]
+            kf = fps[order]
+            first = np.empty(ki.size, bool)
+            first[0] = True
+            first[1:] = (
+                (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1]) | (ki[1:] != ki[:-1])
+            )
+            u1, u2 = c1[first], c2[first]
+            ui, uf = ki[first], kf[first]
+            bstart = np.empty(u1.size, bool)
+            bstart[0] = True
+            bstart[1:] = (u1[1:] != u1[:-1]) | (u2[1:] != u2[:-1])
+            starts = np.flatnonzero(bstart)
+            sizes = np.diff(np.append(starts, u1.size))
+        else:
+            starts = sizes = np.empty(0, np.int64)
         row_chunk = pair_chunk_rows  # bound the (chunk × bucket) temporaries
-        for sl in coarse.group_slices(order, keys):
-            idx = order[sl]
-            mem_ids, first = np.unique(ids[idx], return_index=True)
-            if len(mem_ids) < 2:
+        for v in np.unique(sizes):
+            v = int(v)
+            if v < 2:
                 continue
-            mem_fps = fps[idx][first]
-            # chunked upper-triangle emission: still COMPLETE (unlike the
-            # LSH tier's capped buckets, simhash pairs are a final answer
-            # with a brute-force-equality contract), but a boilerplate
-            # bucket of b docs allocates O(row_chunk × b) not O(b²)
-            n = len(mem_ids)
-            for lo_r in range(0, n - 1, row_chunk):
-                hi_r = min(lo_r + row_chunk, n - 1)
-                ii, jj = np.triu_indices(hi_r - lo_r, k=1, m=n - lo_r)
-                ii = ii + lo_r
-                jj = jj + lo_r
-                h = hamming64(mem_fps[ii], mem_fps[jj])
-                keep = h <= max_hamming
-                a_out.append(mem_ids[ii][keep])
-                b_out.append(mem_ids[jj][keep])
-                h_out.append(h[keep].astype(np.int64))
+            rows = starts[sizes == v]
+            npairs = v * (v - 1) // 2
+            if npairs <= 4_000_000:
+                ii, jj = np.triu_indices(v, k=1)
+                step = max(1, 4_000_000 // npairs)
+                for c in range(0, len(rows), step):
+                    sel = rows[c : c + step, None] + np.arange(v)
+                    mi, mf = ui[sel], uf[sel]
+                    h = hamming64(mf[:, ii].ravel(), mf[:, jj].ravel())
+                    keep = h <= max_hamming
+                    a_out.append(mi[:, ii].ravel()[keep])
+                    b_out.append(mi[:, jj].ravel()[keep])
+                    h_out.append(h[keep].astype(np.int64))
+            else:
+                # giant bucket: chunked upper-triangle emission — still
+                # COMPLETE (unlike the LSH tier's capped buckets, simhash
+                # pairs are a final answer with a brute-force-equality
+                # contract), but allocates O(row_chunk × v) not O(v²)
+                for s in rows:
+                    mem_ids = ui[s : s + v]
+                    mem_fps = uf[s : s + v]
+                    for lo_r in range(0, v - 1, row_chunk):
+                        hi_r = min(lo_r + row_chunk, v - 1)
+                        ii, jj = np.triu_indices(hi_r - lo_r, k=1, m=v - lo_r)
+                        ii = ii + lo_r
+                        jj = jj + lo_r
+                        h = hamming64(mem_fps[ii], mem_fps[jj])
+                        keep = h <= max_hamming
+                        a_out.append(mem_ids[ii][keep])
+                        b_out.append(mem_ids[jj][keep])
+                        h_out.append(h[keep].astype(np.int64))
         if not a_out:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),

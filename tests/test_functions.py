@@ -596,3 +596,40 @@ def test_bucket_pairs_arrays_vectorization_matches_per_bucket_reference():
                 assert np.array_equal(g, w)
     empty = bucket_pairs_arrays(np.empty(0, np.int64), np.empty(0, np.int64), 8)
     assert all(len(x) == 0 for x in empty)
+
+
+def test_anchor_groups_arrays_vectorization_matches_per_group_reference():
+    """The vectorized anchor-group kernel must pack the SAME
+    {size: unique (k, size) member matrix} dict as the per-anchor
+    reference loop — duplicate (anchor, id) rows, out-of-range sizes
+    (1 and >cap skipped), and empty input included."""
+    from cloud_dedup_ray.pipelines.neardup import _anchor_groups_arrays
+    from cloud_dedup_ray.stages import coarse
+
+    def ref(anc, ids, cap):
+        order = np.lexsort((ids, anc))
+        by_size = {}
+        for sl in coarse.group_slices(order, anc[order]):
+            members = np.unique(ids[order[sl]])
+            if 2 <= len(members) <= cap:
+                by_size.setdefault(len(members), []).append(members)
+        return {
+            s: np.unique(np.vstack(rows), axis=0)
+            for s, rows in by_size.items()
+        }
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n_anchors = int(rng.integers(1, 5_000))
+        sizes = rng.choice([1, 1, 1, 2, 2, 3, 5, 9], size=n_anchors)
+        anc = np.repeat(rng.integers(0, 2**62, n_anchors), sizes).astype(np.int64)
+        ids = rng.integers(0, 2_000, anc.size).astype(np.int64)
+        for cap in (4, 64):
+            got = _anchor_groups_arrays(anc, ids, cap)
+            want = ref(anc, ids, cap)
+            assert sorted(got) == sorted(want)
+            for s in want:
+                assert np.array_equal(got[s], want[s])
+    assert _anchor_groups_arrays(
+        np.empty(0, np.int64), np.empty(0, np.int64), 8
+    ) == {}
