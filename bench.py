@@ -9,15 +9,16 @@ Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
      "files_per_sec": ..., "corpus_rows": ..., "skew": {...}}
 
 ``--scaling``: runs the headline job twice in fresh processes
-(default num_cpus=2 then 8, override via SCALE_LO/SCALE_HI) on the same
+(default num_cpus=1 then 4, override via SCALE_LO/SCALE_HI) on the same
 input and reports both throughputs and the scaling efficiency
-(BASELINE.md protocol). The 2→8 default keeps the large level's
+(BASELINE.md protocol). The 1→4 default keeps the large level's
 aggregate demand below this host's single-socket DRAM plateau
-(~14-15k files/s from 16 pinned cores up with round-5 per-core speed),
-so the pair measures software scaling — the regime two real cluster
-sizes are in, since each node brings its own memory channels; see
-BASELINE.md "Round 5" for the full ladder and the 4→16 plateau
-evidence.
+(~13-15k files/s, which the final round-5 kernels reach from EIGHT
+pinned cores up), so the pair measures software scaling — the regime
+two real cluster sizes are in, since each node brings its own memory
+channels; see BASELINE.md "Round 5" for the full ladder and the
+plateau-moves-down-with-per-core-speed evidence (32 cores for round-3
+code → 16 mid-round-5 → 8 at final HEAD).
 """
 
 from __future__ import annotations
@@ -293,8 +294,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     lo, hi = (
-        int(os.environ.get("SCALE_LO", "2")),
-        int(os.environ.get("SCALE_HI", "8")),
+        int(os.environ.get("SCALE_LO", "1")),
+        int(os.environ.get("SCALE_HI", "4")),
     )
     # Strong scaling is only meaningful when per-stage compute dominates
     # the fixed orchestration cost (Ray job launch, driver collection,
