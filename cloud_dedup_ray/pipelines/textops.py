@@ -21,7 +21,6 @@ from cloud_dedup_ray.config import DedupConfig
 from cloud_dedup_ray.functions.hashing import md5_hex
 from cloud_dedup_ray.functions.simhash import (
     hamming64,
-    simhash_tokens,
     simhash_tokens_batch,
 )
 from cloud_dedup_ray.functions.sketch import hash_strings_u64
