@@ -633,3 +633,110 @@ def test_anchor_groups_arrays_vectorization_matches_per_group_reference():
     assert _anchor_groups_arrays(
         np.empty(0, np.int64), np.empty(0, np.int64), 8
     ) == {}
+
+
+def test_shingle_batch_property_matches_per_doc_reference():
+    """Property test: on arbitrary unicode documents (nulls, blanks,
+    any whitespace mix, sub-k-token docs, duplicated tokens) the batch
+    shingler must return exactly the concatenation of
+    ``token_shingles_hashed(normalize(t), k)`` per active doc — the
+    signer, LSH tier and containment anchors all consume this kernel."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cloud_dedup_ray.functions.text import (
+        TokenHashCache,
+        normalize as _norm,
+        token_shingles_hashed,
+        token_shingles_hashed_batch,
+    )
+
+    token = st.text(alphabet="ab1.é日", min_size=1, max_size=6)
+    doc = st.one_of(
+        st.none(),
+        st.just(""),
+        st.text(alphabet=" \t\n", max_size=4),
+        st.lists(token, min_size=1, max_size=30).map(" ".join),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=25),
+           st.integers(min_value=1, max_value=6),
+           st.integers(min_value=0, max_value=10))
+    def check(docs, k, min_chars):
+        arr = pa.array(docs, pa.string())
+        flat, lens = token_shingles_hashed_batch(
+            arr, k, TokenHashCache(), min_chars
+        )
+        norm = _norm(arr).to_pylist()
+        want_sets = [
+            token_shingles_hashed(t, k)
+            if (t is not None and len(t) >= min_chars and t)
+            else np.empty(0, np.uint64)
+            for t in norm
+        ]
+        # NOTE: per-doc fn returns empty for blank t regardless of
+        # min_chars (''.split(' ') == ['']) — mirrored by `and t`
+        assert lens.tolist() == [s.size for s in want_sets]
+        np.testing.assert_array_equal(
+            flat, np.concatenate(want_sets) if want_sets else flat
+        )
+
+    check()
+
+
+def test_bucket_pairs_property_matches_per_bucket_reference():
+    """Property test over arbitrary (bucket, id) multisets and caps:
+    the vectorized pair kernel equals the per-bucket reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cloud_dedup_ray.stages import coarse
+    from cloud_dedup_ray.stages.minhash_stage import bucket_pairs_arrays
+
+    def ref(bk, ids, cap):
+        order = np.lexsort((ids, bk))
+        keys = bk[order]
+        a_out, b_out, sizes = [], [], []
+        for sl in coarse.group_slices(order, keys):
+            members = np.unique(ids[order[sl]])
+            b = len(members)
+            sizes.append(b)
+            if b < 2:
+                continue
+            if b <= cap:
+                ai, bi = np.triu_indices(b, k=1)
+                a, bb = members[ai], members[bi]
+            else:
+                rep = members[0]
+                a = np.concatenate([members[:-1], np.full(b - 1, rep)])
+                bb = np.concatenate([members[1:], members[1:]])
+                keep = a != bb
+                a, bb = a[keep], bb[keep]
+            a_out.append(a)
+            b_out.append(bb)
+        sv, sc = np.unique(np.asarray(sizes, np.int64), return_counts=True)
+        if a_out:
+            pairs = np.unique(
+                np.stack([np.concatenate(a_out), np.concatenate(b_out)], 1), axis=0
+            )
+            return pairs[:, 0], pairs[:, 1], sv, sc.astype(np.int64)
+        e = np.empty(0, np.int64)
+        return e, e, sv, sc.astype(np.int64)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 20)), max_size=80
+        ),
+        st.integers(min_value=2, max_value=6),
+    )
+    def check(rows, cap):
+        bk = np.array([r[0] for r in rows], np.int64)
+        ids = np.array([r[1] for r in rows], np.int64)
+        got = bucket_pairs_arrays(bk, ids, cap)
+        want = ref(bk, ids, cap)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    check()
