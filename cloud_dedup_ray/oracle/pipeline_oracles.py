@@ -495,3 +495,46 @@ def oracle_nd_cluster_assignments(
     )
     comp = _min_label_components(lsh_edges + cont_edges)
     return _assignment_frame(docs.keys(), comp)
+
+
+def oracle_image_phash(sf_dir: str) -> pd.DataFrame:
+    """Independent per-pixel reference for the image perceptual-hash
+    stage (pipelines/multimodal.py ImagePHasher / dhash64_gray): the
+    deterministic FIMG payload is regenerated from the documents text
+    (the payload GENERATOR is the input-data definition, shared like
+    the gear table), then grayscale, the 8×9 area-mean grid and the
+    dHash bits are recomputed with explicit Python loops over pixels —
+    no numpy kernels shared with the pipeline. Returns (doc_id, phash)
+    as int64; the SQL twin derives cluster_id with a window function."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    gh, gw = 8, 9
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        digest = hashlib.sha256(text.encode()).digest()
+        w = 16 + digest[0] % 64
+        h = 16 + digest[1] % 64
+        c = 3
+        body = (digest * ((w * h * c) // len(digest) + 1))[: w * h * c]
+        # per-pixel grayscale + grid accumulation
+        sums = [[0.0] * gw for _ in range(gh)]
+        counts = [[0] * gw for _ in range(gh)]
+        for r in range(h):
+            i = (r * gh) // h
+            for col in range(w):
+                j = (col * gw) // w
+                base = (r * w + col) * c
+                gray = (body[base] + body[base + 1] + body[base + 2]) / 3.0
+                sums[i][j] += gray
+                counts[i][j] += 1
+        cells = [
+            [sums[i][j] / counts[i][j] for j in range(gw)] for i in range(gh)
+        ]
+        phash = 0
+        for i in range(gh):
+            for j in range(gw - 1):
+                phash = (phash << 1) | (1 if cells[i][j] > cells[i][j + 1] else 0)
+        # int64 view of the uint64 bit pattern (matches Arrow's storage)
+        out.append((int(doc_id),
+                    phash - (1 << 64) if phash >= (1 << 63) else phash))
+    return pd.DataFrame(out, columns=["doc_id", "phash"])

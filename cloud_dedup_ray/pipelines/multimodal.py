@@ -448,3 +448,100 @@ def video_frame_features(sf_dir: str, stride: int = 2) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+# --- perceptual-hash (dHash) image dedup --------------------------------------
+
+#: dHash grid: GH×(GW) cell means, bit k = cell[i,j] > cell[i,j+1]
+_DHASH_GH, _DHASH_GW = 8, 9
+
+
+def dhash64_gray(gray: np.ndarray) -> int:
+    """64-bit difference hash (dHash; standard perceptual-hash family,
+    cf. pHash/aHash) of a float grayscale matrix: area-mean downsample
+    to an 8×9 grid (row/col buckets ``r*8//h`` / ``c*9//w`` — the same
+    integer partition the pure-Python oracle loops over), then bit
+    ``i*8+j = cell[i,j] > cell[i,j+1]`` packed MSB-first."""
+    h, w = gray.shape
+    rb = (np.arange(h) * _DHASH_GH) // h
+    cb = (np.arange(w) * _DHASH_GW) // w
+    flat_bucket = (rb[:, None] * _DHASH_GW + cb[None, :]).ravel()
+    sums = np.bincount(flat_bucket, weights=gray.ravel(),
+                       minlength=_DHASH_GH * _DHASH_GW)
+    counts = np.bincount(flat_bucket, minlength=_DHASH_GH * _DHASH_GW)
+    cells = (sums / counts).reshape(_DHASH_GH, _DHASH_GW)
+    bits = cells[:, :-1] > cells[:, 1:]          # (8, 8)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return int((bits.ravel().astype(np.uint64) * weights).sum(dtype=np.uint64))
+
+
+class ImagePHasher:
+    """Actor-pool perceptual-hash stage → (doc_id, phash:int64). Codec
+    selection once per actor like :class:`ImageDecoder`: PIL grayscale
+    when importable (injected via ``codec`` in tests); FIMG payloads
+    take the stub header + a REAL numpy dHash kernel (the stub is the
+    codec, not the kernel). Non-FIMG without a codec fails loudly."""
+
+    def __init__(self, allow_stub: bool = True, codec=None):
+        self.codec = _select_codec("PIL", "Image", codec, allow_stub,
+                                   "image hashing")
+
+    def _gray_fimg(self, buf: bytes) -> np.ndarray:
+        arr = _parse_fimg(buf)
+        return arr.astype(np.float64).mean(axis=2)
+
+    def _gray_codec(self, buf: bytes) -> np.ndarray:
+        import io
+
+        img = self.codec.open(io.BytesIO(buf))
+        arr = np.asarray(img)
+        if arr.ndim == 3:
+            return arr.astype(np.float64).mean(axis=2)
+        return arr.astype(np.float64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = np.empty(t.num_rows, np.uint64)
+        for i, buf in enumerate(t["image"].to_pylist()):
+            if buf[:4] == _MAGIC:
+                gray = self._gray_fimg(buf)
+            elif self.codec is not None:
+                gray = self._gray_codec(buf)
+            else:
+                raise NotImplementedError(
+                    "payload is not FIMG and no image codec is available"
+                )
+            out[i] = dhash64_gray(gray)
+        return pa.table(
+            {"doc_id": t["doc_id"], "phash": pa.array(out.view(np.int64))}
+        )
+
+
+def image_phash_dedup(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
+    """Image-level dedup by perceptual hash: actor-pool dHash over the
+    binary image column, then ONE groupby(phash) shuffle assigns each
+    group its min-doc_id representative — (doc_id, phash, cluster_id),
+    the multimodal twin of ``docs_exact_dedup``. Only (doc_id, phash)
+    pairs move through the shuffle, never payload bytes. With
+    ``out_dir`` the assignment table is ALSO written as partitioned
+    parquet (the at-scale sink; the returned frame is the test-scale
+    driver contract)."""
+    phashed = build_image_table(sf_dir).map_batches(
+        ImagePHasher,
+        batch_format="pyarrow",
+        batch_size=256,          # payload-heavy rows → small batches
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def _assign(g: pa.Table) -> pa.Table:
+        rep = pa.compute.min(g["doc_id"])
+        return g.append_column(
+            "cluster_id", pa.array(np.full(g.num_rows, rep.as_py(), np.int64))
+        )
+
+    ds = phashed.groupby("phash").map_groups(_assign, batch_format="pyarrow")
+    if out_dir is not None:
+        ds = ds.materialize()
+        ds.write_parquet(out_dir)
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "phash", "cluster_id"]]

@@ -202,3 +202,94 @@ def test_non_fvid_fails_loudly():
                       "video": pa.array([b"\x00\x00\x00\x18ftypmp4 "],
                                         pa.binary())})
         )
+
+
+def test_dhash64_gray_reference_grid():
+    """dHash of a hand-checkable gradient: every row increases left to
+    right, so every cell[i,j] < cell[i,j+1] → all 64 bits are 0; the
+    reversed gradient sets all bits."""
+    from cloud_dedup_ray.pipelines.multimodal import dhash64_gray
+
+    g = np.tile(np.arange(18, dtype=np.float64), (16, 1))
+    assert dhash64_gray(g) == 0
+    assert dhash64_gray(g[:, ::-1]) == (1 << 64) - 1
+    # non-divisible dims use the r*8//h / c*9//w integer partition
+    g2 = np.tile(np.arange(23, dtype=np.float64), (19, 1))
+    assert dhash64_gray(g2) == 0
+
+
+def test_image_phash_matches_per_pixel_oracle():
+    """The actor-pool phash stage over FIMG payloads must equal the
+    independent per-pixel pure-Python oracle, and the dedup pipeline's
+    cluster_id must be the min doc_id per exact phash."""
+    from cloud_dedup_ray.oracle.pipeline_oracles import oracle_image_phash
+    from cloud_dedup_ray.pipelines.multimodal import image_phash_dedup
+
+    got = image_phash_dedup("/root/testdata/sf0.001")
+    want = (
+        oracle_image_phash("/root/testdata/sf0.001")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["phash"].tolist() == want["phash"].tolist()
+    exp_cluster = want.groupby("phash")["doc_id"].transform("min")
+    assert got["cluster_id"].tolist() == exp_cluster.tolist()
+    # exact-duplicate texts → identical payloads → one cluster
+    assert got["cluster_id"].nunique() < len(got)
+
+
+def test_image_phash_parquet_sink_twin(tmp_path):
+    """out_dir writes the same assignment table the DataFrame path
+    returns (the at-scale sink contract shared by the per-doc textops
+    pipelines)."""
+    import pandas as pd
+
+    from cloud_dedup_ray.pipelines.multimodal import image_phash_dedup
+
+    out_dir = str(tmp_path / "phash_sink")
+    df = image_phash_dedup("/root/testdata/sf0.001", out_dir=out_dir)
+    back = (
+        pd.read_parquet(out_dir)
+        .sort_values("doc_id")
+        .reset_index(drop=True)[df.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(back, df, check_exact=True)
+
+
+def test_phash_no_codec_no_magic_fails_loudly():
+    from cloud_dedup_ray.pipelines.multimodal import ImagePHasher
+
+    hasher = ImagePHasher()
+    hasher.codec = None
+    with pytest.raises(NotImplementedError):
+        hasher(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "image": pa.array([b"\x89PNG...."], pa.binary())})
+        )
+
+
+def test_phash_codec_path_dispatch():
+    """A PIL-compatible injected codec routes non-FIMG payloads through
+    the codec grayscale path (same dispatch contract as ImageDecoder)."""
+    from cloud_dedup_ray.pipelines.multimodal import ImagePHasher, dhash64_gray
+
+    arr = (np.arange(24 * 24 * 3) % 251).reshape(24, 24, 3).astype(np.uint8)
+
+    class FakeImg:
+        width, height = 24, 24
+
+        def __array__(self, dtype=None, copy=None):
+            return arr
+
+    class FakeCodec:
+        @staticmethod
+        def open(_buf):
+            return FakeImg()
+
+    hasher = ImagePHasher(codec=FakeCodec)
+    t = hasher(
+        pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "image": pa.array([b"\x89PNG...."], pa.binary())})
+    )
+    want = dhash64_gray(arr.astype(np.float64).mean(axis=2))
+    assert np.asarray(t["phash"]).view(np.uint64)[0] == want
