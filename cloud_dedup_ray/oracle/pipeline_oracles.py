@@ -538,3 +538,88 @@ def oracle_image_phash(sf_dir: str) -> pd.DataFrame:
         out.append((int(doc_id),
                     phash - (1 << 64) if phash >= (1 << 63) else phash))
     return pd.DataFrame(out, columns=["doc_id", "phash"])
+
+
+def oracle_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Independent per-sample reference for the audio energy-delta
+    fingerprint (pipelines/multimodal.py afp64_samples): the FAUD
+    payload's int16 stream is regenerated from the documents text, then
+    window energies and delta bits are recomputed with explicit Python
+    loops and arbitrary-precision ints. Returns (doc_id, afp) int64."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        digest = hashlib.sha256(text.encode()).digest()
+        n = 512 + int.from_bytes(digest[1:3], "little") % 4096
+        raw = (digest * ((2 * n) // len(digest) + 1))[: 2 * n]
+        samples = []
+        for i in range(n):
+            v = raw[2 * i] | (raw[2 * i + 1] << 8)
+            samples.append(v - 65536 if v >= 32768 else v)
+        w = 37  # _AFP_WINDOW: coprime to the payload's 16-sample period
+        n_win = n // w
+        energies = []
+        for b in range(n_win):
+            e = 0
+            for s in samples[b * w : (b + 1) * w]:
+                e += s * s
+            energies.append(e)
+        fp = 0
+        k = min(64, n_win - 1) if n_win >= 2 else 0
+        for b in range(k):
+            bit = 1 if energies[b + 1] > energies[b] else 0
+            fp |= bit << (63 - b)
+        out.append((int(doc_id), fp - (1 << 64) if fp >= (1 << 63) else fp))
+    return pd.DataFrame(out, columns=["doc_id", "afp"])
+
+
+def oracle_video_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Independent per-pixel reference for the video frame-aHash chain
+    fingerprint (pipelines/multimodal.py VideoFingerprinter): FVID
+    frames regenerated from the documents text; each frame's 8×8 aHash
+    recomputed with explicit pixel loops and integer cross-multiplied
+    comparisons; the chain fold replayed with Python-int splitmix64
+    (shared constants, independent code). Returns (doc_id, vfp) int64."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    m = (1 << 64) - 1
+
+    def splitmix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & m
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+        return x ^ (x >> 31)
+
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        digest = hashlib.sha256(text.encode()).digest()
+        w = 8 + digest[0] % 17
+        h = 8 + digest[1] % 17
+        n_frames = 4 + digest[2] % 13
+        body = (digest * ((w * h * n_frames) // len(digest) + 1))[
+            : w * h * n_frames
+        ]
+        fp = 0
+        for f in range(n_frames):
+            frame = body[f * w * h : (f + 1) * w * h]
+            sums = [[0] * 8 for _ in range(8)]
+            counts = [[0] * 8 for _ in range(8)]
+            total = 0
+            for r in range(h):
+                i = (r * 8) // h
+                for col in range(w):
+                    j = (col * 8) // w
+                    px = frame[r * w + col]
+                    sums[i][j] += px
+                    counts[i][j] += 1
+                    total += px
+            ah = 0
+            n_px = w * h
+            for i in range(8):
+                for j in range(8):
+                    bit = 1 if sums[i][j] * n_px > total * counts[i][j] else 0
+                    ah |= bit << (63 - (i * 8 + j))
+            fp = splitmix(fp ^ ah)
+        out.append((int(doc_id), fp - (1 << 64) if fp >= (1 << 63) else fp))
+    return pd.DataFrame(out, columns=["doc_id", "vfp"])

@@ -545,3 +545,187 @@ def image_phash_dedup(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
         ds.write_parquet(out_dir)
     out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return out[["doc_id", "phash", "cluster_id"]]
+
+
+# --- audio energy-delta fingerprint dedup -------------------------------------
+
+#: audio fingerprint window (samples per energy cell). 37 is prime on
+#: purpose: a window coprime to any power-of-two periodicity keeps the
+#: fingerprint meaningful on periodic signals (a W that divides — or is
+#: divided by — the signal period makes every window energy identical
+#: and the fingerprint degenerates to all-zero bits; the deterministic
+#: FAUD test payload repeats with period 16 samples and exposed exactly
+#: that with W=64).
+_AFP_WINDOW = 37
+
+
+def afp64_samples(x: np.ndarray) -> int:
+    """64-bit audio fingerprint (Shazam-style energy-delta signature,
+    cf. Wang 2003 / Haitsma-Kalker 2002): integer energies of
+    consecutive ``_AFP_WINDOW``-sample windows, bit ``b`` =
+    energy[b+1] > energy[b] packed MSB-first (fewer than 65 windows →
+    trailing bits 0). All
+    arithmetic is EXACT int64, so the per-sample oracle agrees
+    bit-for-bit."""
+    w = _AFP_WINDOW
+    n_win = len(x) // w
+    if n_win < 2:
+        return 0
+    e = (x[: n_win * w].astype(np.int64) ** 2).reshape(n_win, w).sum(axis=1)
+    k = min(64, n_win - 1)
+    bits = e[1 : k + 1] > e[:k]
+    weights = np.uint64(1) << np.arange(63, 63 - k, -1, dtype=np.uint64)
+    return int((bits.astype(np.uint64) * weights).sum(dtype=np.uint64))
+
+
+class AudioFingerprinter:
+    """Actor-pool audio-fingerprint stage → (doc_id, afp:int64). Codec
+    dispatch identical to :class:`AudioFeatures` (soundfile once per
+    actor, FAUD header stub, loud failure otherwise); the fingerprint
+    kernel is real integer numpy either way."""
+
+    def __init__(self, allow_stub: bool = True, codec=None):
+        self.codec = _select_codec("soundfile", None, codec, allow_stub,
+                                   "audio fingerprinting")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = np.empty(t.num_rows, np.uint64)
+        for i, buf in enumerate(t["audio"].to_pylist()):
+            if buf[:4] == _AMAGIC:
+                _, n = struct.unpack("<II", buf[4:12])
+                x = np.frombuffer(buf[12 : 12 + 2 * n], np.int16)
+            elif self.codec is not None:
+                import io
+
+                data, _ = self.codec.read(io.BytesIO(buf), dtype="int16")
+                data = np.asarray(data)
+                x = data.mean(axis=1).astype(np.int16) if data.ndim > 1 else data
+            else:
+                raise NotImplementedError(
+                    "payload is not FAUD and no audio codec is available"
+                )
+            out[i] = afp64_samples(x)
+        return pa.table(
+            {"doc_id": t["doc_id"], "afp": pa.array(out.view(np.int64))}
+        )
+
+
+def audio_fingerprint_dedup(
+    sf_dir: str, out_dir: str | None = None
+) -> pd.DataFrame:
+    """Audio-level dedup by energy fingerprint — the audio twin of
+    ``mm_image_phash_dedup``: actor-pool fingerprinting, then ONE
+    groupby(afp) shuffle assigns min-doc_id representatives. Only
+    (doc_id, afp) pairs cross the shuffle."""
+    fps = build_audio_table(sf_dir).map_batches(
+        AudioFingerprinter,
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def _assign(g: pa.Table) -> pa.Table:
+        rep = pa.compute.min(g["doc_id"])
+        return g.append_column(
+            "cluster_id", pa.array(np.full(g.num_rows, rep.as_py(), np.int64))
+        )
+
+    ds = fps.groupby("afp").map_groups(_assign, batch_format="pyarrow")
+    if out_dir is not None:
+        ds = ds.materialize()
+        ds.write_parquet(out_dir)
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "afp", "cluster_id"]]
+
+
+# --- video frame-aHash chain fingerprint dedup --------------------------------
+
+
+def ahash64_gray_int(gray: np.ndarray) -> int:
+    """64-bit average hash (aHash) of a uint8 grayscale frame: 8×8
+    area-mean cells (integer partitions ``r*8//h`` / ``c*8//w`` — valid
+    down to 8×8 frames, unlike dHash's 9-wide grid), bit = cell mean >
+    GLOBAL pixel mean, decided by exact integer cross-multiplication
+    ``cell_sum * n_pixels > total_sum * cell_count`` so the per-pixel
+    oracle agrees bit-for-bit (no float mean ordering issues)."""
+    h, w = gray.shape
+    rb = (np.arange(h) * 8) // h
+    cb = (np.arange(w) * 8) // w
+    bucket = (rb[:, None] * 8 + cb[None, :]).ravel()
+    # float64 sums of uint8 values are exact (integers < 2^53)
+    s = np.bincount(bucket, weights=gray.ravel(), minlength=64).astype(np.int64)
+    c = np.bincount(bucket, minlength=64).astype(np.int64)
+    total = int(gray.sum(dtype=np.int64))
+    n_px = h * w
+    bits = s * n_px > total * c
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return int((bits.astype(np.uint64) * weights).sum(dtype=np.uint64))
+
+
+_SPLITMIX_C1, _SPLITMIX_C2, _SPLITMIX_C3 = (
+    0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+)
+
+
+def _splitmix64_int(x: int) -> int:
+    """Scalar splitmix64 over Python ints (same constants as
+    functions/hashing.splitmix64) — the video chain fold uses it so the
+    pure-Python oracle can replicate the fold exactly."""
+    m = (1 << 64) - 1
+    x = (x + _SPLITMIX_C1) & m
+    x = ((x ^ (x >> 30)) * _SPLITMIX_C2) & m
+    x = ((x ^ (x >> 27)) * _SPLITMIX_C3) & m
+    return x ^ (x >> 31)
+
+
+class VideoFingerprinter:
+    """Actor-pool video-fingerprint stage → (doc_id, vfp:int64): aHash
+    every grayscale frame, then chain-fold the frame hashes in order
+    (``fp = splitmix64(fp ^ ahash)``) — order-sensitive, so reordered
+    or truncated frame stacks fingerprint differently. FVID payloads
+    only (this container ships no video codec); non-FVID fails loudly
+    like :class:`VideoFrameSampler`."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = np.empty(t.num_rows, np.uint64)
+        for i, buf in enumerate(t["video"].to_pylist()):
+            if buf[:4] != _VMAGIC:
+                raise NotImplementedError(
+                    "payload is not FVID and no video codec is available"
+                )
+            w, h, n_frames = struct.unpack("<III", buf[4:16])
+            body = np.frombuffer(
+                buf[16 : 16 + w * h * n_frames], np.uint8
+            ).reshape(n_frames, h, w)
+            fp = 0
+            for f in range(n_frames):
+                fp = _splitmix64_int(fp ^ ahash64_gray_int(body[f]))
+            out[i] = fp
+        return pa.table(
+            {"doc_id": t["doc_id"], "vfp": pa.array(out.view(np.int64))}
+        )
+
+
+def video_fingerprint_dedup(
+    sf_dir: str, out_dir: str | None = None
+) -> pd.DataFrame:
+    """Video-level dedup by the frame-aHash chain fingerprint — the
+    video twin of ``mm_image_phash_dedup``; only (doc_id, vfp) pairs
+    cross the one groupby shuffle, never frame bytes."""
+    fps = build_video_table(sf_dir).map_batches(
+        VideoFingerprinter,
+        batch_format="pyarrow", batch_size=64,  # video payloads are big
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+    def _assign(g: pa.Table) -> pa.Table:
+        rep = pa.compute.min(g["doc_id"])
+        return g.append_column(
+            "cluster_id", pa.array(np.full(g.num_rows, rep.as_py(), np.int64))
+        )
+
+    ds = fps.groupby("vfp").map_groups(_assign, batch_format="pyarrow")
+    if out_dir is not None:
+        ds = ds.materialize()
+        ds.write_parquet(out_dir)
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "vfp", "cluster_id"]]

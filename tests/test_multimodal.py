@@ -293,3 +293,119 @@ def test_phash_codec_path_dispatch():
     )
     want = dhash64_gray(arr.astype(np.float64).mean(axis=2))
     assert np.asarray(t["phash"]).view(np.uint64)[0] == want
+
+
+def test_afp64_energy_delta_reference():
+    """Hand-checkable fingerprint: a ramp whose window energies strictly
+    increase sets every available delta bit; the reversed ramp clears
+    them; sub-2-window inputs fingerprint to 0."""
+    from cloud_dedup_ray.pipelines.multimodal import _AFP_WINDOW, afp64_samples
+
+    n_win = 10
+    x = np.arange(n_win * _AFP_WINDOW, dtype=np.int16)
+    fp = afp64_samples(x)
+    k = n_win - 1
+    want = int(((1 << k) - 1) << (64 - k))  # top k bits set
+    assert fp == want
+    assert afp64_samples(x[::-1].copy()) == 0
+    assert afp64_samples(np.zeros(_AFP_WINDOW, np.int16)) == 0
+
+
+def test_audio_video_fingerprint_dedup_match_oracles():
+    from cloud_dedup_ray.oracle.pipeline_oracles import (
+        oracle_audio_fingerprint,
+        oracle_video_fingerprint,
+    )
+    from cloud_dedup_ray.pipelines.multimodal import (
+        audio_fingerprint_dedup,
+        video_fingerprint_dedup,
+    )
+
+    ga = audio_fingerprint_dedup("/root/testdata/sf0.001")
+    wa = (
+        oracle_audio_fingerprint("/root/testdata/sf0.001")
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert ga["afp"].tolist() == wa["afp"].tolist()
+    assert ga["cluster_id"].tolist() == (
+        wa.groupby("afp")["doc_id"].transform("min").tolist()
+    )
+    # the 37-sample window is coprime to the FAUD payload's 16-sample
+    # period, so fingerprints must NOT degenerate to one value
+    assert ga["afp"].nunique() > 1
+    gv = video_fingerprint_dedup("/root/testdata/sf0.001")
+    wv = (
+        oracle_video_fingerprint("/root/testdata/sf0.001")
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert gv["vfp"].tolist() == wv["vfp"].tolist()
+    assert gv["cluster_id"].tolist() == (
+        wv.groupby("vfp")["doc_id"].transform("min").tolist()
+    )
+
+
+def test_ahash64_gray_int_reference_grid():
+    """aHash of a half-dark/half-bright frame: bright cells sit above
+    the global mean → exactly the 32 bright-side bits set; works down
+    to the 8×8 minimum FVID frame."""
+    from cloud_dedup_ray.pipelines.multimodal import ahash64_gray_int
+
+    g = np.zeros((8, 8), np.uint8)
+    g[:, 4:] = 200
+    got = ahash64_gray_int(g)
+    want = 0
+    for i in range(8):
+        for j in range(4, 8):
+            want |= 1 << (63 - (i * 8 + j))
+    assert got == want
+    # constant frame: no cell exceeds the mean → zero hash
+    assert ahash64_gray_int(np.full((11, 13), 7, np.uint8)) == 0
+
+
+def test_video_fingerprint_order_sensitive():
+    """Reordering frames must change the chain fingerprint (the fold is
+    order-sensitive by design)."""
+    import struct as _struct
+
+    from cloud_dedup_ray.pipelines.multimodal import (
+        _VMAGIC,
+        VideoFingerprinter,
+    )
+
+    w = h = 8
+    f0 = bytes(range(64))
+    f1 = bytes(reversed(range(64)))
+    vid_a = _VMAGIC + _struct.pack("<III", w, h, 2) + f0 + f1
+    vid_b = _VMAGIC + _struct.pack("<III", w, h, 2) + f1 + f0
+    t = VideoFingerprinter()(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "video": pa.array([vid_a, vid_b], pa.binary())})
+    )
+    vfp = t["vfp"].to_pylist()
+    assert vfp[0] != vfp[1]
+
+
+def test_audio_fingerprint_codec_and_failure_paths():
+    from cloud_dedup_ray.pipelines.multimodal import (
+        AudioFingerprinter,
+        afp64_samples,
+    )
+
+    fper = AudioFingerprinter()
+    fper.codec = None
+    with pytest.raises(NotImplementedError):
+        fper(pa.table({"doc_id": pa.array([1], pa.int64()),
+                       "audio": pa.array([b"RIFF...."], pa.binary())}))
+
+    samples = (np.arange(400) % 251).astype(np.int16)
+
+    class FakeSf:
+        @staticmethod
+        def read(_buf, dtype="int16"):
+            return samples, 8000
+
+    t = AudioFingerprinter(codec=FakeSf)(
+        pa.table({"doc_id": pa.array([3], pa.int64()),
+                  "audio": pa.array([b"RIFF...."], pa.binary())})
+    )
+    assert np.asarray(t["afp"]).view(np.uint64)[0] == afp64_samples(samples)
