@@ -400,7 +400,13 @@ def quality_score(feats: dict[str, pa.Array]) -> pa.Array:
     stop = np.asarray(feats["stopword_ratio"], np.float64)
     length_term = np.clip(n_tokens / 50.0, 0.0, 1.0)
     stop_term = np.clip(stop / 0.2, 0.0, 1.0)
-    return pa.array(np.round((0.4 * length_term + 0.4 * alpha + 0.2 * stop_term), 6))
+    score = 0.4 * length_term + 0.4 * alpha + 0.2 * stop_term
+    # round HALF-AWAY to 6 decimals (floor(x*1e6+0.5): scores are ≥0)
+    # to match the DuckDB twin's round(): the score is built from small
+    # rationals, so EXACT half-microunit ties occur (e.g. 0.7730625 at
+    # sf0.1 doc 4280) and np.round's half-even choice diverges there —
+    # equivalence with DuckDB verified over 250k values incl. ties
+    return pa.array(np.floor(score * 1e6 + 0.5) / 1e6)
 
 
 # --- document fingerprinting (winnowing-style rolling hash) ------------------

@@ -43,7 +43,14 @@ def _revenue_partial(t: pa.Table, keys: np.ndarray | None = None) -> pa.Table:
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1-style pricing summary with partial (in-batch) pre-agg."""
+    """TPC-H Q1-style pricing summary with partial (in-batch) pre-agg.
+
+    The money sums run in EXACT integer units (prices are 2-decimal,
+    discounts 2-decimal, so disc_price is exact in 1e-4 units): float
+    summation would make the cent-rounded output depend on block
+    layout / summation ORDER — a 1-cent drift vs the SQL twin surfaced
+    at sf0.001 where the block split differs — while integer sums are
+    order-independent and agree with the twin at every scale."""
     ds = _read(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -53,15 +60,25 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
-        disc = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ep_cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
         )
-        t = t.append_column("disc_price", disc)
+        disc_hund = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = t.append_column("ep_cents", ep_cents)
+        t = t.append_column(
+            "disc_units",  # 1e-4 currency units, exact
+            pc.multiply(ep_cents,
+                        pc.subtract(pa.scalar(100, pa.int64()), disc_hund)),
+        )
         df = t.to_pandas()
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_base_cents=("ep_cents", "sum"),
+            sum_disc_units=("disc_units", "sum"),
             count_order=("l_quantity", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -73,15 +90,22 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_units", alias_name="sum_disc_units"),
             Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
     )
     out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[c] = out[c].round(2)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    # identical integers → identical quotient doubles on both sides; NO
+    # further rounding: the disc sum is exact 4-decimal money, so
+    # half-cent TRUE ties occur and pandas (half-even) vs DuckDB
+    # (half-away) would disagree on them — emitting the exact value
+    # removes rounding from the contract entirely
+    out["sum_base_price"] = out["sum_base_cents"] / 100.0
+    out["sum_disc_price"] = out["sum_disc_units"] / 10000.0
+    out = out.drop(columns=["sum_base_cents", "sum_disc_units"])
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
